@@ -1,0 +1,108 @@
+"""Sort-method facade: a uniform registry over heterogeneous sort engines.
+
+TPU-native re-design of the reference's SortMethod adapter layer
+(/root/reference/src/sort_methods.hpp:24-347): each method exposes `name`,
+`supports(...)` (the isSupported<Up,K,Ps...> capability predicate,
+sort_methods.hpp:45-57), `has_threshold`, and a `run(...)` entry, so the test
+matrix and benchmark harness can iterate heterogeneous algorithms uniformly.
+
+Methods (growing per SURVEY.md section 7 build plan):
+  * "xla"   — transform + jax.lax.sort variadic comparison sort (baseline slice)
+  * "radix" — LSD digit histogram + rank + permutation radix sort
+  * "rank"  — single-block vectorized rank sort (cmp_sorters.hpp equivalent)
+  * "seq"   — host NumPy stable-argsort model (BitSorterSequential analogue,
+              differential baseline only; not jittable)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .utils import transforms
+
+
+@dataclasses.dataclass(frozen=True)
+class SortMethod:
+    name: str
+    run: Callable  # (keys, payloads, *, ascending, stable, block_threshold) -> (keys, payloads)
+    supports: Callable  # (key_dtype, payload_dtypes, n) -> bool
+    has_threshold: bool = False
+    device: bool = True  # False for host-side differential baselines
+
+
+def _supports_all(key_dtype, payload_dtypes, n) -> bool:
+    return True
+
+
+def _run_xla(keys, payloads, *, ascending=True, stable=False,
+             block_threshold=None, key_dtype=None):
+    from .ops import xla_sort
+    return xla_sort.sort_arrays(keys, payloads, ascending=ascending,
+                                stable=stable, key_dtype=key_dtype)
+
+
+def _run_seq(keys, payloads, *, ascending=True, stable=False,
+             block_threshold=None, key_dtype=None):
+    keys = np.asarray(keys)
+    if key_dtype is not None:
+        keys = keys.view(np.dtype(key_dtype))
+    out = transforms.sort_np(keys, *[np.asarray(p) for p in payloads],
+                             ascending=ascending)
+    keys_out = out[0]
+    if key_dtype is not None:  # hand bits back, like the device methods
+        keys_out = keys_out.view(np.uint64)
+    return jnp.asarray(keys_out), tuple(jnp.asarray(p) for p in out[1:])
+
+
+def _run_radix(keys, payloads, *, ascending=True, stable=False,
+               block_threshold=None, key_dtype=None):
+    from .ops import radix
+    return radix.sort_arrays(keys, payloads, ascending=ascending,
+                             stable=stable, key_dtype=key_dtype)
+
+
+def _run_rank(keys, payloads, *, ascending=True, stable=False,
+              block_threshold=None, key_dtype=None):
+    from .ops import rank_sort
+    return rank_sort.sort_arrays(keys, payloads, ascending=ascending,
+                                 key_dtype=key_dtype)
+
+
+def _rank_supports(key_dtype, payload_dtypes, n) -> bool:
+    from .ops import rank_sort
+    return n is None or n <= rank_sort.MAX_RANK_SORT_N
+
+
+REGISTRY: dict[str, SortMethod] = {}
+
+
+def register(method: SortMethod):
+    REGISTRY[method.name] = method
+
+
+register(SortMethod("xla", _run_xla, _supports_all))
+register(SortMethod("radix", _run_radix, _supports_all, has_threshold=True))
+register(SortMethod("rank", _run_rank, _rank_supports))
+register(SortMethod("seq", _run_seq, _supports_all, device=False))
+
+
+def resolve(method: str, key_dtype, payload_dtypes: Sequence, n: int | None
+            ) -> SortMethod:
+    """Pick a method; "auto" chooses the best supported engine for the shape
+    (mirrors how the reference harness picks per-workload configurations)."""
+    if method == "auto":
+        return REGISTRY["xla"]
+    m = REGISTRY.get(method)
+    if m is None:
+        raise ValueError(f"unknown sort method {method!r}; "
+                         f"have {sorted(REGISTRY)}")
+    if not m.supports(np.dtype(key_dtype),
+                      tuple(np.dtype(d) for d in payload_dtypes), n):
+        raise ValueError(
+            f"method {method!r} does not support key={key_dtype} "
+            f"payloads={payload_dtypes} n={n}")
+    return m

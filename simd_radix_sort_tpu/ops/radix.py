@@ -1,0 +1,119 @@
+"""LSD radix sort: digit histogram + exclusive scan + stable rank + permute.
+
+TPU-native re-design of the reference's MSB 1-bit compress-store partition
+(/root/reference/src/radix_sort.hpp:109-268).  The AVX-512 code partitions by
+ONE key bit per pass because `vpcompressstoreu` gives it a cheap in-place
+two-way split; on TPU the idiomatic move is a multi-bit digit pass
+(SURVEY.md section 7): an 8-bit digit means 8x fewer passes over HBM for u64
+keys, and each pass is histogram -> exclusive scan -> stable-rank -> apply
+permutation, all expressible as dense vector/matrix ops.
+
+This module is the XLA-level implementation of that pass structure (blocked
+one-hot histograms and ranks via lax.scan, permutation applied with a single
+unique-index scatter per stream).  It is the semantic model for the Pallas
+kernels in radix_pallas.py, which replace the scatter with block-local
+matmul permutations and run-length DMA.
+
+The sort is stable (LSD counting passes are stable), which is strictly
+stronger than the reference's unstable MSB sort — any output it produces is
+also a valid reference output for the same multiset.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import transforms
+
+# Elements per histogram/rank block.  8-bit digits => 256 buckets (+1 pad
+# bucket that keeps padding rows at the tail of every pass).
+DEFAULT_BLOCK = 1024
+
+
+def _digit_passes(num_words: int, word_bits: int, digit_bits: int):
+    """Yield (word_index, shift) for LSD order across (lo..hi) words."""
+    passes = []
+    for w in range(num_words - 1, -1, -1):  # word index 0 = hi word
+        for shift in range(0, word_bits, digit_bits):
+            passes.append((w, shift))
+    return passes
+
+
+def _pass_dest(digits: jax.Array, n_valid: int, num_buckets: int,
+               block: int) -> jax.Array:
+    """Destination index of every element under a stable counting sort by
+    `digits` (values in [0, num_buckets); padding rows must carry digit
+    num_buckets-1 to stay at the tail)."""
+    n = digits.shape[0]
+    nb = n // block
+    d_blocks = digits.reshape(nb, block)
+    bucket_ids = jnp.arange(num_buckets, dtype=jnp.int32)
+
+    def hist_step(carry, d_blk):
+        onehot = (d_blk[:, None] == bucket_ids[None, :]).astype(jnp.int32)
+        return carry + onehot.sum(axis=0, dtype=jnp.int32), None
+
+    hist, _ = jax.lax.scan(hist_step, jnp.zeros(num_buckets, jnp.int32),
+                           d_blocks)
+    base = jnp.cumsum(hist, dtype=jnp.int32) - hist  # exclusive offsets per bucket
+
+    def rank_step(carry, d_blk):
+        onehot = (d_blk[:, None] == bucket_ids[None, :]).astype(jnp.int32)
+        prefix = jnp.cumsum(onehot, axis=0, dtype=jnp.int32) - onehot  # exclusive within block
+        rank_in_block = jnp.take_along_axis(prefix, d_blk[:, None], axis=1)[:, 0]
+        dest_blk = base[d_blk] + carry[d_blk] + rank_in_block
+        return carry + onehot.sum(axis=0, dtype=jnp.int32), dest_blk
+
+    _, dest = jax.lax.scan(rank_step, jnp.zeros(num_buckets, jnp.int32),
+                           d_blocks)
+    return dest.reshape(n)
+
+
+def _apply_perm(dest: jax.Array, streams):
+    """out[dest[i]] = stream[i] for every stream (unique indices)."""
+    out = []
+    for s in streams:
+        o = jnp.zeros_like(s).at[dest].set(s, unique_indices=True,
+                                           indices_are_sorted=False)
+        out.append(o)
+    return tuple(out)
+
+
+def sort_arrays(keys: jax.Array, payloads, ascending: bool = True,
+                stable: bool = True, digit_bits: int = 8,
+                block: int = DEFAULT_BLOCK, key_dtype=None):
+    """Radix sort keys + lock-step payload streams.  Jittable."""
+    n = keys.shape[0]
+    kops = list(transforms.key_operands(keys, ascending, key_dtype))
+    word_bits = kops[0].dtype.itemsize * 8
+    num_buckets = (1 << digit_bits) + 1  # +1 = padding bucket (kept last)
+
+    # Payloads move through the pass permutation untouched (scatter is
+    # dtype-agnostic) — the analogue of the reference's opaque payload
+    # compress-stores (src/simd.hpp:310-389).
+    pl_ops = list(payloads)
+
+    n_pad = max(block, ((n + block - 1) // block) * block)
+    pad = n_pad - n
+    streams = [jnp.pad(s, (0, pad)) for s in kops + pl_ops]
+    is_pad = jnp.arange(n_pad, dtype=jnp.int32) >= n
+
+    for word_idx, shift in _digit_passes(len(kops), word_bits, digit_bits):
+        word = streams[word_idx]
+        d = (word >> word.dtype.type(shift)).astype(jnp.int32) & (
+            (1 << digit_bits) - 1)
+        d = jnp.where(is_pad, num_buckets - 1, d)
+        dest = _pass_dest(d, n, num_buckets, block)
+        streams = list(_apply_perm(dest, streams))
+        is_pad = jnp.zeros(n_pad, jnp.bool_).at[dest].set(
+            is_pad, unique_indices=True)
+
+    streams = [s[:n] for s in streams]
+    keys_out = transforms.keys_from_operands(
+        tuple(streams[: len(kops)]), key_dtype or keys.dtype, ascending,
+        as_bits=key_dtype is not None)
+    return keys_out, tuple(streams[len(kops):])

@@ -1,0 +1,182 @@
+"""Public sort API: separate key/payload datastreams and combined layout.
+
+Mirrors the reference's two entry points (/root/reference/src/radix_sort.hpp:297-337
+and README usage):
+
+  * separate streams:  sort(keys, payload_a, payload_b, ..., ascending=...)
+  * combined layout:   sort_packed(packed_bytes, key_dtype, payload_dtypes, ...)
+
+Both are functional (return new arrays) — the TPU idiom replacing the
+reference's in-place writes; the produced ordering is identical.  The sort is
+NOT stable by default, matching the reference (SURVEY.md section 2.2); pass
+stable=True for a stable variant (a capability the reference does not have).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import common, transforms
+from . import xla_sort
+
+
+def _check_64bit_ok(dtype):
+    dtype = np.dtype(dtype)
+    if dtype.itemsize == 8 and not jax.config.read("jax_enable_x64"):
+        raise ValueError(
+            f"dtype {dtype} requires 64-bit mode; set JAX_ENABLE_X64=1 or "
+            'jax.config.update("jax_enable_x64", True) before creating arrays'
+        )
+
+
+def sort(keys, *payloads, ascending: bool = True, method: str = "auto",
+         stable: bool = False, block_threshold: int | None = None):
+    """Sort keys with any number of payload streams kept in lock-step.
+
+    Equivalent of simd_sort::radix_sort::sort(num, keys, payloads...)
+    (/root/reference/radixSort.hpp:1761-1783).  Accepts jax or numpy arrays;
+    returns (sorted_keys,) + sorted payload tuple (or just sorted_keys when
+    there are no payloads, for convenience).
+    """
+    from .. import methods  # local import to avoid cycle
+
+    # float64 must NEVER live on a TPU device: this stack emulates f64
+    # storage lossily (NaN payloads / low mantissa bits are not preserved)
+    # and cannot lower bitcast-convert FROM f64 at all.  All f64 streams
+    # (keys and payloads) therefore cross the device boundary as raw uint64
+    # bits, reinterpreted on the host on the way out; such outputs are
+    # returned as NumPy float64 arrays.
+    lossy_f64 = jax.default_backend() != "cpu"
+
+    def _to_device(x):
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
+        # check BEFORE jnp.asarray: with x64 disabled jax silently
+        # downcasts 64-bit inputs, which would corrupt keys/payloads
+        _check_64bit_ok(x.dtype)
+        if lossy_f64 and np.dtype(x.dtype) == np.float64:
+            return jnp.asarray(np.asarray(x).view(np.uint64)), np.dtype(np.float64)
+        return jnp.asarray(x), None
+
+    keys, key_dtype = _to_device(keys)
+    pl = [_to_device(p) for p in payloads]
+    payloads = tuple(p for p, _ in pl)
+    pl_f64 = [dt for _, dt in pl]
+    if keys.ndim != 1:
+        raise ValueError("keys must be 1-D")
+    for p in payloads:
+        if p.shape != keys.shape:
+            raise ValueError("payload streams must match keys shape")
+
+    m = methods.resolve(method, key_dtype or keys.dtype,
+                        tuple(dt or p.dtype for p, dt in pl), keys.shape[0])
+    keys_out, payloads_out = m.run(
+        keys, payloads, ascending=ascending, stable=stable,
+        block_threshold=block_threshold, key_dtype=key_dtype)
+
+    if key_dtype is not None:
+        keys_out = np.asarray(keys_out).view(np.float64)
+    payloads_out = tuple(
+        np.asarray(p).view(np.float64) if dt is not None else p
+        for p, dt in zip(payloads_out, pl_f64))
+    if not payloads:
+        return keys_out
+    return (keys_out,) + tuple(payloads_out)
+
+
+def sort_with_payloads(keys, payloads, **kw):
+    """Like `sort` but always returns (keys, tuple_of_payloads)."""
+    out = sort(keys, *payloads, **kw)
+    if not payloads:
+        return out, ()
+    return out[0], tuple(out[1:])
+
+
+# ---------------------------------------------------------------------------
+# Combined (AoS) layout — DataElement<K, Ps...> equivalent
+# ---------------------------------------------------------------------------
+#
+# The reference reinterprets a DataElement<K,Ps...>* as a wide integer lane
+# type and partitions whole elements by key bits (src/radix_sort.hpp:314-332).
+# The TPU-native equivalent keeps the packed row-major byte matrix
+# (n, element_size) uint8 and sorts rows by the key reconstructed from its
+# leading bytes, carrying every byte column as a lock-step operand.
+
+
+def pack_rows(keys: np.ndarray, payloads) -> np.ndarray:
+    """convertToSingleArray equivalent (src/data.hpp:332-346): pack key +
+    payload streams into an (n, element_size) uint8 AoS matrix, key bytes
+    first (little-endian), payloads in declaration order."""
+    keys = np.asarray(keys)
+    cols = [np.ascontiguousarray(keys).view(np.uint8)
+            .reshape(len(keys), keys.dtype.itemsize)]
+    for p in payloads:
+        p = np.ascontiguousarray(np.asarray(p))
+        cols.append(p.view(np.uint8).reshape(len(p), p.dtype.itemsize))
+    return np.concatenate(cols, axis=1)
+
+
+def unpack_rows(packed: np.ndarray, key_dtype, payload_dtypes):
+    """setFromSingleArray equivalent (src/data.hpp:348-361)."""
+    packed = np.ascontiguousarray(np.asarray(packed, dtype=np.uint8))
+    key_dtype = np.dtype(key_dtype)
+    out = []
+    off = 0
+    for dtype in (key_dtype,) + tuple(np.dtype(d) for d in payload_dtypes):
+        w = dtype.itemsize
+        col = np.ascontiguousarray(packed[:, off:off + w])
+        out.append(col.reshape(-1).view(dtype))
+        off += w
+    if off != packed.shape[1]:
+        raise ValueError("element size mismatch")
+    return out[0], tuple(out[1:])
+
+
+def _key_from_byte_columns(byte_cols, key_dtype):
+    """Reconstruct the key's unsigned carrier from its little-endian byte
+    columns using 32-bit lane math only."""
+    key_dtype = np.dtype(key_dtype)
+    w = key_dtype.itemsize
+    words = []
+    for word_idx in range((w + 3) // 4):
+        nb = min(4, w - word_idx * 4)
+        word = jnp.zeros_like(byte_cols[0], dtype=jnp.uint32)
+        for b in range(nb):
+            word = word | (
+                byte_cols[word_idx * 4 + b].astype(jnp.uint32)
+                << jnp.uint32(8 * b)
+            )
+        words.append(word)
+    return words  # little-endian list of uint32 words
+
+
+def sort_packed(packed, key_dtype, ascending: bool = True,
+                stable: bool = False):
+    """Sort an (n, element_size) uint8 combined-layout matrix by the key in
+    each row's leading bytes.  Jittable; equivalent of
+    radix_sort::sort(num, DataElement<K,Ps...>*) (src/radix_sort.hpp:314-332).
+
+    Unlike the reference there is no power-of-two element-size restriction.
+    """
+    key_dtype = np.dtype(key_dtype)
+    packed = jnp.asarray(packed, dtype=jnp.uint8)
+    n, esize = packed.shape
+    if esize < key_dtype.itemsize:
+        raise ValueError("element size smaller than key size")
+
+    byte_cols = [packed[:, i] for i in range(esize)]
+    words = _key_from_byte_columns(byte_cols[: key_dtype.itemsize], key_dtype)
+
+    # Build the unsigned ordering carrier from the words, then apply the
+    # order-preserving transform directly in the bit domain.
+    if key_dtype.itemsize == 8:
+        bits = transforms.merge64(words[1], words[0])
+    else:
+        bits = words[0].astype(common.unsigned_of(key_dtype))
+    u = transforms.sortable_from_bits(bits, key_dtype, ascending)
+    kops = transforms.split64(u) if u.dtype == jnp.uint64 else (u,)
+    out = jax.lax.sort(tuple(kops) + tuple(byte_cols),
+                       num_keys=len(kops), is_stable=stable)
+    return jnp.stack(out[len(kops):], axis=1)

@@ -1,0 +1,56 @@
+"""Combined (AoS) layout tests — DataElement<K,Ps...> parity.
+
+Mirrors the reference's Combined arm of the matrix (test.cpp:44-50):
+pack to a single array, sort packed, unpack, validate with the same oracle.
+"""
+
+import numpy as np
+import pytest
+
+import simd_radix_sort_tpu as srs
+from simd_radix_sort_tpu.utils import common
+from simd_radix_sort_tpu.utils import data as D
+
+CASES = [
+    (np.int32, (np.uint32,)),          # 8-byte element
+    (np.float32, (np.uint32, np.uint64)),  # 16-byte element
+    (np.uint64, (np.uint64,)),         # 16-byte element
+    (np.uint8, ()),                    # 1-byte element
+    (np.int16, (np.uint8,)),           # 3-byte element (non-pow2: we allow it)
+    (np.float64, (np.uint64, np.uint64, np.uint64)),  # 32-byte element
+]
+
+
+@pytest.mark.parametrize("key_dtype,payload_dtypes", CASES,
+                         ids=lambda c: str(c))
+@pytest.mark.parametrize("ascending", [True, False], ids=["asc", "desc"])
+def test_packed_roundtrip(key_dtype, payload_dtypes, ascending):
+    keys = D.make_keys(500, key_dtype, D.Distribution.UNIFORM, 21)
+    payloads = D.make_payloads(keys, payload_dtypes, "fast")
+    packed = srs.pack_rows(keys, payloads)
+    assert packed.shape == (500, common.element_size(key_dtype, payload_dtypes))
+
+    # pack/unpack must be lossless
+    k2, p2 = srs.unpack_rows(packed, key_dtype, payload_dtypes)
+    assert np.array_equal(k2.view(np.uint8), keys.view(np.uint8))
+    for a, b in zip(p2, payloads):
+        assert np.array_equal(a.view(np.uint8), b.view(np.uint8))
+
+    out = np.asarray(srs.sort_packed(packed, key_dtype, ascending=ascending))
+    k3, p3 = srs.unpack_rows(out, key_dtype, payload_dtypes)
+    err = D.check_data(k3, p3, keys, ascending)
+    assert err == "", err
+
+    # combined and separate layouts must produce identical bytes
+    ks, ps = srs.sort_with_payloads(keys, payloads, ascending=ascending)
+    want = srs.pack_rows(np.asarray(ks), [np.asarray(p) for p in ps])
+    assert np.array_equal(out, want)
+
+
+def test_packed_empty_and_single():
+    for n in (0, 1):
+        keys = D.make_keys(n, np.int32, D.Distribution.UNIFORM, 3)
+        payloads = D.make_payloads(keys, (np.uint16,), "fast")
+        packed = srs.pack_rows(keys, payloads)
+        out = np.asarray(srs.sort_packed(packed, np.int32))
+        assert out.shape == packed.shape

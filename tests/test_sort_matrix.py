@@ -1,0 +1,148 @@
+"""The reference-style integration test matrix.
+
+Re-creation of /root/reference/src/test.cpp's exhaustive matrix (SURVEY.md
+section 4): {layouts} x {directions} x {key types} x {payload shapes} x
+{distributions} x {sizes} x {methods}, validated with the key-seeded payload
+oracle.  Because every payload is a deterministic function of its key,
+any correct sort (stable or not) of the same input produces byte-identical
+output — so each cell is ALSO checked bit-exactly against the NumPy model
+(the BitSorterSequential differential-baseline role, radix_sort.hpp:66-92).
+
+The default run samples the matrix (compile time on CPU dominates); pass
+--full-matrix for the reference-sized sweep.
+"""
+
+import numpy as np
+import pytest
+
+import simd_radix_sort_tpu as srs
+from simd_radix_sort_tpu.utils import common
+from simd_radix_sort_tpu.utils import data as D
+
+ALL_KEYS = list(common.KEY_DTYPES)
+
+PAYLOAD_SHAPES = {
+    "none": (),
+    "u32": (np.uint32,),
+    "u64": (np.uint64,),
+    "u64+u8": (np.uint64, np.uint8),
+    "f32": (np.float32,),
+    "f64": (np.float64,),
+    "3xu64": (np.uint64, np.uint64, np.uint64),
+    "3xu8": (np.uint8, np.uint8, np.uint8),
+}
+
+FULL_ONLY_PAYLOADS = {
+    "7xu64": (np.uint64,) * 7,
+    "u8x15": (np.uint8,) * 15,
+}
+
+
+def run_cell(key_dtype, payload_dtypes, dist, n, method, ascending,
+             seed=1234, protocol="fast"):
+    keys = D.make_keys(n, key_dtype, dist, seed)
+    payloads = D.make_payloads(keys, payload_dtypes, protocol)
+    out = srs.sort_with_payloads(keys, payloads, ascending=ascending,
+                                 method=method)
+    k, ps = out
+    k = np.asarray(k)
+    ps = tuple(np.asarray(p) for p in ps)
+    err = D.check_data(k, ps, keys, ascending, protocol)
+    assert err == "", (
+        f"{common.type_name(key_dtype)} {payload_dtypes} {dist} n={n} "
+        f"{method} asc={ascending}: {err}")
+    want = srs.sort_np(keys, *payloads, ascending=ascending)
+    for got, exp in zip((k,) + ps, want):
+        assert np.array_equal(np.asarray(got).view(np.uint8),
+                              exp.view(np.uint8)), "differs from NumPy model"
+
+
+@pytest.mark.parametrize("key_dtype", ALL_KEYS, ids=common.type_name)
+@pytest.mark.parametrize("ascending", [True, False], ids=["asc", "desc"])
+def test_all_key_types(key_dtype, ascending):
+    run_cell(key_dtype, (np.uint32,), D.Distribution.UNIFORM, 1000,
+             "xla", ascending)
+
+
+@pytest.mark.parametrize("dist", D.ALL_DISTRIBUTIONS,
+                         ids=[d.value for d in D.ALL_DISTRIBUTIONS])
+@pytest.mark.parametrize("key_dtype", [np.int32, np.float32, np.uint64],
+                         ids=common.type_name)
+def test_all_distributions(key_dtype, dist):
+    run_cell(key_dtype, (np.uint64,), dist, 1000, "xla", True)
+
+
+@pytest.mark.parametrize("shape", sorted(PAYLOAD_SHAPES))
+def test_payload_shapes(shape):
+    run_cell(np.int32, PAYLOAD_SHAPES[shape], D.Distribution.UNIFORM,
+             1000, "xla", True)
+
+
+@pytest.mark.parametrize("method", ["xla", "radix", "rank", "seq"])
+@pytest.mark.parametrize("key_dtype", [np.uint32, np.int64, np.float64,
+                                       np.uint8], ids=common.type_name)
+def test_methods_agree(method, key_dtype):
+    for ascending in (True, False):
+        run_cell(key_dtype, (np.uint32,), D.Distribution.UNIFORM, 777,
+                 method, ascending)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 10, 100, 1000])
+def test_sizes(n):
+    run_cell(np.int32, (np.uint32,), D.Distribution.UNIFORM, n, "xla", True)
+    if 0 < n <= 4096:
+        run_cell(np.int32, (np.uint32,), D.Distribution.UNIFORM, n, "rank",
+                 True)
+    run_cell(np.int32, (np.uint32,), D.Distribution.UNIFORM, n, "radix", True)
+
+
+def test_cpp_payload_protocol():
+    """The reference-exact payload protocol (glibc srand/rand) round-trips
+    through sort + oracle."""
+    run_cell(np.int32, (np.uint32, np.uint8), D.Distribution.UNIFORM, 500,
+             "xla", True, protocol="cpp")
+    run_cell(np.float64, (np.uint64,), D.Distribution.GAUSSIAN, 300,
+             "xla", False, protocol="cpp")
+
+
+def test_duplicate_heavy_keys():
+    """ZeroOne / Zero / narrow dtypes exercise massive duplication, the case
+    where unstable sorts must still keep key<->payload correspondence."""
+    for dist in (D.Distribution.ZERO, D.Distribution.ZERO_ONE):
+        for method in ("xla", "radix", "rank"):
+            run_cell(np.uint8, (np.uint64,), dist, 999, method, True)
+
+
+def test_oracle_catches_corruption():
+    """Mutation test: the oracle must reject broken outputs."""
+    keys = D.make_keys(100, np.int32, D.Distribution.UNIFORM, 5)
+    (p,) = D.make_payloads(keys, [np.uint32], "fast")
+    k, ps = srs.sort_with_payloads(keys, (p,))
+    k = np.asarray(k).copy()
+    ps = np.asarray(ps[0]).copy()
+    # swap two payloads of different keys
+    assert k[0] != k[50]
+    bad = ps.copy()
+    bad[0], bad[50] = bad[50], bad[0]
+    assert "payloads" in D.check_data(k, (bad,), keys, True)
+    # unsorted keys
+    bad_k = k.copy()
+    bad_k[0], bad_k[-1] = bad_k[-1], bad_k[0]
+    assert "not sorted" in D.check_data(bad_k, (ps,), keys, True)
+    # dropped key
+    bad_k = k.copy()
+    bad_k[0] = bad_k[1]
+    assert "multiset" in D.check_data(np.sort(bad_k), (ps,), keys, True)
+
+
+def test_full_matrix(full_matrix):
+    if not full_matrix:
+        pytest.skip("pass --full-matrix for the reference-sized sweep")
+    shapes = dict(PAYLOAD_SHAPES)
+    shapes.update(FULL_ONLY_PAYLOADS)
+    for key_dtype in ALL_KEYS:
+        for name, pls in shapes.items():
+            for dist in D.ALL_DISTRIBUTIONS:
+                for n in (1, 10, 100, 1000, 10000):
+                    for ascending in (True, False):
+                        run_cell(key_dtype, pls, dist, n, "xla", ascending)
