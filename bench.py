@@ -1,0 +1,102 @@
+"""Headline benchmark: u64 key + u64 payload radix sort rows/s/chip.
+
+Metric per BASELINE.json: "radix sort rows/s/chip (u64 key + u64 payload,
+1e8 rows)".  vs_baseline is relative to the reference's closest published
+anchor: RadixSIMD int32+int32 at 89 Mrows/s on one 5 GHz x86 core
+(BASELINE.md; the reference publishes no u64+u64 row and is single-threaded).
+
+Prints ONE JSON line.  Environment knobs:
+  SRS_BENCH_N      rows (default 100_000_000)
+  SRS_BENCH_REPS   timed repetitions (default 3)
+  SRS_BENCH_METHOD sort method (default "auto")
+"""
+
+import json
+import os
+import sys
+import time
+
+# NOTE: jax is pre-imported by sitecustomize in this environment, so
+# JAX_ENABLE_X64 env vars set here are too late; use config.update.
+import jax
+
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_ROWS_PER_S = 89e6  # reference RadixSIMD int32+int32 (BASELINE.md)
+
+
+def main():
+    from simd_radix_sort_tpu import methods
+    from simd_radix_sort_tpu.models import roofline
+
+    n = int(os.environ.get("SRS_BENCH_N", 100_000_000))
+    reps = int(os.environ.get("SRS_BENCH_REPS", 3))
+    method = os.environ.get("SRS_BENCH_METHOD", "auto")
+
+    rng = np.random.default_rng(42)
+    keys = rng.integers(0, 2**64, n, dtype=np.uint64)
+    payload = rng.integers(0, 2**64, n, dtype=np.uint64)
+    keys_d = jax.device_put(jnp.asarray(keys))
+    pay_d = jax.device_put(jnp.asarray(payload))
+
+    m = methods.resolve(method, np.uint64, (np.uint64,), n)
+
+    def run(k, p):
+        ko, (po,) = m.run(k, (p,), ascending=True, stable=False,
+                          block_threshold=None, key_dtype=None)
+        return ko, po
+
+    fn = jax.jit(run)
+
+    # warmup/compile; a host fetch forces completion on async backends
+    out = fn(keys_d, pay_d)
+    _ = np.asarray(out[0][:8])
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(keys_d, pay_d)
+        _ = np.asarray(out[0][:8])  # sync
+    dt = (time.perf_counter() - t0) / reps
+    rows_per_s = n / dt
+
+    # correctness gate, like the reference perf harness (perf.hpp:51-59):
+    # verify sortedness + head/tail sample multiset on every benchmark run
+    ko = np.asarray(out[0])
+    po = np.asarray(out[1])
+    assert np.all(ko[:-1] <= ko[1:]), "benchmark output not sorted"
+    want = np.sort(keys)
+    if not np.array_equal(ko, want):
+        diff = np.nonzero(ko != want)[0]
+        detail = [f"pos {i}: got {ko[i]:016x} want {want[i]:016x}"
+                  for i in diff[:5]]
+        raise AssertionError(
+            f"benchmark output multiset mismatch: {len(diff)} rows differ; "
+            + "; ".join(detail))
+    # payload correspondence on a sample
+    idx = rng.integers(0, n, 1000)
+    lookup = dict(zip(keys[idx].tolist(), payload[idx].tolist()))
+    perm = np.searchsorted(ko, np.array(list(lookup.keys()), dtype=np.uint64))
+    for pos, (k, v) in zip(perm, lookup.items()):
+        # with duplicate keys any of the duplicates' payloads is acceptable;
+        # u64 uniform makes duplicates vanishingly unlikely
+        assert ko[pos] == k and po[pos] == v, "payload correspondence broken"
+
+    roof = roofline.radix_sort_roofline_rows_per_s(row_bytes=16, key_bits=64)
+    print(json.dumps({
+        "metric": "u64+u64 sort rows/s/chip",
+        "value": round(rows_per_s),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_per_s / BASELINE_ROWS_PER_S, 3),
+        "n": n,
+        "method": m.name,
+        "seconds_per_sort": round(dt, 4),
+        "hbm_roofline_rows_per_s": round(roof),
+        "roofline_frac": round(rows_per_s / roof, 4),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""Group-by aggregate (the north star's "hash aggregate").
+
+On TPU the idiomatic grouping engine is sort-based: sort rows by key (the
+engine's own radix/xla sort), mark group boundaries, and reduce segments with
+scan algebra — no scatter, no data-dependent shapes:
+
+  * sum / count: inclusive cumsum diffed at group ends;
+  * min / max:   segmented inclusive scan (associative_scan over (flag, value)
+                 pairs with a boundary-reset combiner) read at group ends;
+
+then one stable compaction (ops/filter.py) packs the per-group results.
+
+Returns padded, static-shape results + num_groups, the XLA idiom.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import transforms
+from . import filter as filter_ops
+from . import xla_sort
+
+AGGS = ("sum", "count", "min", "max", "mean")
+
+
+def _segmented_scan(vals: jax.Array, starts: jax.Array, op):
+    """Inclusive segmented scan: reduce with `op` within segments that begin
+    where `starts` is True."""
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, op(va, vb))
+    _, out = jax.lax.associative_scan(combine, (starts, vals))
+    return out
+
+
+def group_aggregate(keys: jax.Array, values, aggs=("sum",),
+                    presorted: bool = False, method: str = "xla"):
+    """Aggregate `values` (one array or a tuple of arrays) per distinct key.
+
+    Returns (num_groups, group_keys, results) where results[agg_index] is a
+    tuple with one array per value stream (except "count": one array).  All
+    outputs are padded to n rows; rows past num_groups are meaningless.
+    """
+    single = not isinstance(values, (tuple, list))
+    vals = (values,) if single else tuple(values)
+    for a in aggs:
+        if a not in AGGS:
+            raise ValueError(f"unknown aggregate {a!r}; have {AGGS}")
+    n = keys.shape[0]
+
+    if not presorted:
+        keys, vals = xla_sort.sort_arrays(keys, vals, ascending=True)
+
+    u = transforms.to_sortable(keys, True)
+    if u.dtype == jnp.uint64:
+        hi, lo = transforms.split64(u)
+        neq = (jnp.roll(hi, 1) != hi) | (jnp.roll(lo, 1) != lo)
+    else:
+        neq = jnp.roll(u, 1) != u
+    starts = neq.at[0].set(True) if n else neq
+    ends = jnp.roll(starts, -1) if n else starts  # last row of each group
+
+    pos = jnp.arange(n, dtype=jnp.int64 if n > 2**31 - 1 else jnp.int32)
+    results = []
+    for agg in aggs:
+        if agg == "count":
+            csum = pos + 1
+            (cnt_g,) = _compact_at(ends, (csum.astype(jnp.int32),))
+            results.append(_diff_groups(cnt_g))
+        elif agg in ("sum", "mean"):
+            per_stream = []
+            for v in vals:
+                acc = jnp.cumsum(
+                    v.astype(jnp.float32) if v.dtype == jnp.float16 else v)
+                (s_g,) = _compact_at(ends, (acc,))
+                per_stream.append(_diff_groups(s_g).astype(acc.dtype))
+            if agg == "mean":
+                (cnt_g,) = _compact_at(ends, ((pos + 1).astype(jnp.int32),))
+                cnt = _diff_groups(cnt_g)
+                per_stream = [s / cnt.astype(s.dtype) if
+                              np.dtype(s.dtype).kind == "f" else
+                              (s // cnt.astype(s.dtype))
+                              for s in per_stream]
+            results.append(tuple(per_stream))
+        else:  # min / max
+            op = jnp.minimum if agg == "min" else jnp.maximum
+            per_stream = []
+            for v in vals:
+                seg = _segmented_scan(v, starts, op)
+                (m_g,) = _compact_at(ends, (seg,))
+                per_stream.append(m_g)
+            results.append(tuple(per_stream))
+
+    num_groups, group_keys = filter_ops.compact(ends, keys)
+    return num_groups, group_keys, tuple(results)
+
+
+def _compact_at(mask, streams):
+    out = filter_ops.compact(mask, *streams)
+    return out[1:]
+
+
+def _diff_groups(acc_at_ends: jax.Array) -> jax.Array:
+    """Per-group totals from compacted inclusive-cumsum values at group ends."""
+    prev = jnp.roll(acc_at_ends, 1)
+    prev = prev.at[0].set(0) if acc_at_ends.shape[0] else prev
+    return acc_at_ends - prev

@@ -1,0 +1,99 @@
+"""Join on keys (the north star's "hash join").
+
+TPU-native design: sort-merge.  The build side is sorted by key with the
+engine's own sort; probe rows find their match range with a vectorized
+binary search (two searchsorted calls on the transformed keys), and matched
+build payloads are fetched with gathers.  No hash table, no scatter, static
+shapes throughout — on TPU a sorted-array "hash table" probed by binary
+search is the idiomatic equivalent of a bucketed hash table.
+
+Two shapes of result:
+
+  * lookup_join: one output row per probe row (first match + match count),
+    static shape == probe shape.  Covers the common unique-build-key case
+    exactly (then match_count is 0/1).
+  * inner_join_expand: full inner-join expansion with duplicate build keys,
+    into a caller-provided static capacity (padded + total count), using
+    rank arithmetic over match offsets — still scatter-free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import transforms
+from . import xla_sort
+
+
+def _searchsorted_side(sorted_u, query_u, side):
+    return jnp.searchsorted(sorted_u, query_u, side=side)
+
+
+def build_index(build_keys: jax.Array, build_payloads=()):
+    """Sort the build side by key; returns (sorted_transformed_keys,
+    sorted_keys, sorted_payloads) — the "hash table"."""
+    keys_s, pays_s = xla_sort.sort_arrays(build_keys, tuple(build_payloads),
+                                          ascending=True)
+    u = transforms.to_sortable(keys_s, True)
+    return u, keys_s, pays_s
+
+
+def lookup_join(probe_keys: jax.Array, build_keys: jax.Array,
+                build_payloads=(), probe_is_transformed: bool = False):
+    """For each probe row: (found, match_count, first-match build payloads).
+
+    Returns (found_mask, match_counts, gathered_build_payloads).  With
+    duplicate build keys the FIRST (lowest sorted position) match is
+    returned; match_counts reports how many build rows matched.
+    """
+    u_build, _, pays_s = build_index(build_keys, build_payloads)
+    u_probe = (probe_keys if probe_is_transformed
+               else transforms.to_sortable(probe_keys, True))
+    lo = _searchsorted_side(u_build, u_probe, "left")
+    hi = _searchsorted_side(u_build, u_probe, "right")
+    counts = (hi - lo).astype(jnp.int32)
+    found = counts > 0
+    safe = jnp.clip(lo, 0, max(build_keys.shape[0] - 1, 0))
+    gathered = tuple(jnp.take(p, safe, axis=0) for p in pays_s)
+    return found, counts, gathered
+
+
+def inner_join_expand(probe_keys: jax.Array, probe_payloads,
+                      build_keys: jax.Array, build_payloads,
+                      capacity: int):
+    """Full inner join with duplicate build keys, expanded into `capacity`
+    output rows (static).  Returns (total_matches, out_probe_idx,
+    out_probe_keys, out_probe_payloads, out_build_payloads); rows past
+    total_matches are padding.  If total_matches > capacity the result is
+    truncated (caller checks and re-runs with a larger capacity — the
+    static-shape idiom for data-dependent output sizes).
+
+    Expansion is scatter-free: output slot t finds its probe row by binary
+    search over the cumulative match counts, then its build row by rank
+    arithmetic within that probe row's match range.
+    """
+    u_build, build_keys_s, build_pays_s = build_index(build_keys,
+                                                      build_payloads)
+    u_probe = transforms.to_sortable(probe_keys, True)
+    lo = _searchsorted_side(u_build, u_probe, "left")
+    hi = _searchsorted_side(u_build, u_probe, "right")
+    counts = (hi - lo).astype(jnp.int32)
+    cum = jnp.cumsum(counts, dtype=jnp.int32)      # inclusive
+    total = cum[-1] if counts.shape[0] else jnp.int32(0)
+
+    t = jnp.arange(capacity, dtype=jnp.int32)
+    # probe row of output slot t: first row whose inclusive cumsum exceeds t
+    probe_idx = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    probe_idx_safe = jnp.clip(probe_idx, 0, max(probe_keys.shape[0] - 1, 0))
+    start_of_row = jnp.take(cum, probe_idx_safe) - jnp.take(counts,
+                                                            probe_idx_safe)
+    build_pos = jnp.take(lo, probe_idx_safe) + (t - start_of_row)
+    build_pos = jnp.clip(build_pos, 0, max(build_keys.shape[0] - 1, 0))
+
+    out_probe_keys = jnp.take(probe_keys, probe_idx_safe, axis=0)
+    out_probe_pays = tuple(jnp.take(p, probe_idx_safe, axis=0)
+                           for p in probe_payloads)
+    out_build_pays = tuple(jnp.take(p, build_pos, axis=0)
+                           for p in build_pays_s)
+    return total, probe_idx_safe, out_probe_keys, out_probe_pays, out_build_pays

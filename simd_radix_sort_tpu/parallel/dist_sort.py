@@ -1,0 +1,279 @@
+"""Multi-chip distributed sort over a jax.sharding.Mesh.
+
+New scope relative to the reference (which is strictly single-threaded —
+SURVEY.md section 2.11): the TPU-native scale-out path from BASELINE.json's
+north star.  Design (histogram-sort-with-sampling family, PAPERS.md):
+
+  1. each device locally sorts its row shard (the engine's own sort);
+  2. evenly-spaced key samples are all_gathered and sorted; P-1 splitters
+     are read off at the sample quantiles;
+  3. every device slices its sorted shard into P key-range buckets
+     (vectorized searchsorted) and exchanges bucket p to device p with
+     all_to_all over the mesh axis (ICI);
+  4. each device merges what it received with one more local sort; invalid
+     (padding) rows carry a sentinel flag used as the primary sort key so
+     they collect at the tail.
+
+The exchange is `jax.lax.ragged_all_to_all`: buckets are contiguous runs of
+the locally sorted shard, so the shard itself is the send operand and only
+offset/size vectors are computed (via one all_gather of the (src, dst)
+length matrix).  Receive buffers have a static capacity (the XLA
+static-shape idiom); an overflow flag reports when sampling error or key
+skew exceeded it so the caller can rerun with a larger factor.  XLA:CPU has
+no ragged-all-to-all thunk, so a dense all_gather emulation backs the
+virtual-mesh test path.  Keys <= 32 bits are tie-broken with a
+device-interleaved position (packed into the u64 sample/search domain),
+which keeps duplicate-heavy distributions (Zero, ZeroOne) and pre-sorted
+inputs perfectly balanced.
+
+Output stays sharded: (keys, payloads) padded per device + per-device valid
+counts — concatenating each device's valid prefix in mesh order is the
+globally sorted table (gather_result does this on the host).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils import common, transforms
+
+DEFAULT_AXIS = "x"
+
+
+def make_mesh(num_devices: int | None = None, axis: str = DEFAULT_AXIS) -> Mesh:
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _sortable_with_tiebreak(u: jax.Array, axis_index, n_local: int,
+                            num_p: int):
+    """Sample/search domain: transformed key, tie-broken by a device-
+    interleaved position when it fits.  <=32-bit keys widen to u64 as
+    (key << 32) | (i * P + dev): the interleaving spreads equal keys evenly
+    across ALL buckets, so duplicate-heavy inputs stay load-balanced (the
+    skew-repartition requirement of the north star).  64-bit keys are used
+    as-is (ties may then skew buckets — capacity_factor covers sampling
+    error; exact two-word tie-break is a planned upgrade)."""
+    if u.dtype.itemsize * 8 + 32 <= 64:
+        pos = (jnp.arange(n_local, dtype=jnp.uint64) * jnp.uint64(num_p)
+               + axis_index.astype(jnp.uint64))
+        # key in the high bits, interleaved position in the low 32
+        wide = u.astype(jnp.uint64) << jnp.uint64(32)
+        return wide | (pos & jnp.uint64(0xFFFFFFFF))
+    return u
+
+
+def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
+                             axis: str = DEFAULT_AXIS, ascending: bool = True,
+                             capacity_factor: float = 2.0,
+                             samples_per_device: int = 256,
+                             key_dtype=None, use_ragged: bool | None = None):
+    """Jittable distributed sort of row-sharded arrays.
+
+    keys/payloads are sharded along the mesh axis (global length n).
+    Returns (padded_keys, padded_payloads, counts, overflow) where
+    padded_keys is length P*cap per device (sharded), counts is (P,) valid
+    rows per device, and overflow flags capacity overrun (results then
+    incomplete).
+    """
+    num_p = mesh.shape[axis]
+    n = keys.shape[0]
+    if n % num_p:
+        raise ValueError(f"global length {n} not divisible by mesh size {num_p}")
+    n_local = n // num_p
+    cap_recv = max(int(math.ceil(capacity_factor * n_local)), 1)
+    s_per_dev = min(n_local, samples_per_device) or 1
+
+    kdt = np.dtype(key_dtype) if key_dtype is not None else np.dtype(keys.dtype)
+    if use_ragged is None:
+        # XLA:CPU has no ragged-all-to-all thunk; TPU/GPU do.
+        use_ragged = jax.default_backend() != "cpu"
+
+    # 64-bit streams travel as u32 word pairs end to end: the TPU X64
+    # rewriter cannot lower ragged-all-to-all (or most 64-bit HLOs) on u64,
+    # and 32-bit lanes are native anyway.  int<->uint uses astype (two's
+    # complement wrap = bit-identical); float64 never reaches this layer on
+    # TPU (host boundary converts to bits).
+    pl_split = [np.dtype(p.dtype).itemsize == 8 for p in payloads]
+
+    def _split_payloads(payloads_l):
+        ops = []
+        for p, split in zip(payloads_l, pl_split):
+            if split:
+                hi, lo = transforms.split64(p.astype(jnp.uint64))
+                ops.extend([hi, lo])
+            else:
+                ops.append(p)
+        return ops
+
+    def _merge_payloads(ops):
+        out = []
+        it = iter(ops)
+        for p, split in zip(payloads, pl_split):
+            if split:
+                hi = next(it)
+                lo = next(it)
+                merged = transforms.merge64(hi, lo)
+                out.append(merged.astype(p.dtype) if p.dtype != merged.dtype
+                           else merged)
+            else:
+                out.append(next(it))
+        return tuple(out)
+
+    def local_fn(keys_l, *payloads_l):
+        my = jax.lax.axis_index(axis)
+        kops = transforms.key_operands(keys_l, ascending, key_dtype)
+        payloads_l = _split_payloads(payloads_l)
+
+        # 1. local sort (valid flag rides along for later reuse)
+        sorted_ops = jax.lax.sort(tuple(kops) + tuple(payloads_l),
+                                  num_keys=len(kops), is_stable=False)
+        kops_s = sorted_ops[: len(kops)]
+        pays_s = sorted_ops[len(kops):]
+        u = kops_s[0] if len(kops) == 1 else transforms.merge64(*kops_s)
+        uw = _sortable_with_tiebreak(u, my, n_local, num_p)
+
+        # 2. splitters from gathered samples
+        idx = ((jnp.arange(s_per_dev, dtype=jnp.float32) + 0.5)
+               * (n_local / s_per_dev)).astype(jnp.int32)
+        samples = jnp.take(uw, idx)
+        all_samples = jax.lax.all_gather(samples, axis)  # (P, S)
+        flat = jax.lax.sort(all_samples.reshape(-1))
+        spl_idx = (jnp.arange(1, num_p, dtype=jnp.int32) * s_per_dev)
+        splitters = jnp.take(flat, spl_idx)  # (P-1,)
+
+        # 3. bucket boundaries in my sorted shard (bucket p = rows for dev p)
+        bounds = jnp.searchsorted(uw, splitters, side="left").astype(jnp.int32)
+        starts = jnp.concatenate([jnp.zeros(1, jnp.int32), bounds])
+        ends = jnp.concatenate([bounds, jnp.full((1,), n_local, jnp.int32)])
+        lens = ends - starts  # send_sizes (P,)
+
+        # 4. ragged all-to-all over ICI: buckets are already contiguous in
+        # the sorted shard, so the shard itself is the send operand — zero
+        # copies on the send side (SURVEY.md section 2.11 "TPU-native plan").
+        L = jax.lax.all_gather(lens, axis)          # L[src, dst]
+        recv_sizes = L[:, my]                       # (P,) from each src
+        total_raw = jnp.sum(recv_sizes)
+        overflow = total_raw > cap_recv
+        total_recv = jnp.minimum(total_raw, cap_recv)
+        # where my chunk lands on each destination: after all earlier srcs
+        csum_dst = jnp.cumsum(L, axis=0) - L        # exclusive over src
+        output_offsets = csum_dst[my, :]            # (P,) for my sends
+        # never write out of the destination buffer even when overflowing
+        # (results are then incomplete and the overflow flag is set)
+        allowed = jnp.clip(cap_recv - output_offsets, 0, None)
+        lens = jnp.minimum(lens, allowed)
+        output_offsets = jnp.clip(output_offsets, 0, cap_recv - 1)
+
+        if use_ragged:
+            def exchange(stream):
+                out_buf = jnp.zeros((cap_recv,), stream.dtype)
+                return jax.lax.ragged_all_to_all(
+                    stream, out_buf, starts, lens, output_offsets, recv_sizes,
+                    axis_name=axis)
+        else:
+            # Dense emulation for backends without ragged-all-to-all
+            # (XLA:CPU): all_gather everything, assemble my ragged slice
+            # locally.  Same math, O(P) extra traffic — test/debug path only.
+            starts_all = jax.lax.all_gather(starts, axis)   # (P, P)[src, dst]
+            col_excl = csum_dst[:, my]                      # (P,) by src
+            col_incl = col_excl + recv_sizes
+            t = jnp.arange(cap_recv, dtype=jnp.int32)
+            q_t = jnp.searchsorted(col_incl, t, side="right").astype(jnp.int32)
+            q_safe = jnp.clip(q_t, 0, num_p - 1)
+            off = t - jnp.take(col_excl, q_safe)
+            src_idx = jnp.clip(jnp.take(starts_all[:, my], q_safe) + off,
+                               0, n_local - 1)
+
+            def exchange(stream):
+                all_ops = jax.lax.all_gather(stream, axis)  # (P, n_local)
+                return all_ops[q_safe, src_idx]
+
+        recv_ops = [exchange(s) for s in kops_s + pays_s]
+
+        # 5. final local sort; rows past total_recv are buffer padding and
+        # carry an invalid flag as the primary key so they collect last
+        invalid = (jnp.arange(cap_recv, dtype=jnp.int32)
+                   >= total_recv).astype(jnp.uint8)
+        merged = jax.lax.sort((invalid,) + tuple(recv_ops),
+                              num_keys=1 + len(kops), is_stable=False)
+        kops_f = merged[1: 1 + len(kops)]
+        pays_f = merged[1 + len(kops):]
+        count = total_recv.astype(jnp.int32)
+
+        keys_out = transforms.keys_from_operands(
+            tuple(kops_f), kdt, ascending, as_bits=key_dtype is not None)
+        overflow = jax.lax.convert_element_type(
+            jax.lax.pmax(overflow.astype(jnp.int32), axis), jnp.int32)
+        return (keys_out, _merge_payloads(pays_f), count[None], overflow[None])
+
+    shard = functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis),) * (1 + len(payloads)),
+        out_specs=(P(axis), tuple(P(axis) for _ in payloads), P(axis), P(axis)),
+    )
+    return shard(local_fn)(keys, *payloads)
+
+
+def distributed_sort(keys, *payloads, mesh: Mesh | None = None,
+                     axis: str = DEFAULT_AXIS, ascending: bool = True,
+                     capacity_factor: float = 2.0,
+                     samples_per_device: int = 256):
+    """Host-friendly entry: takes numpy/jax arrays, shards them over the
+    mesh, runs the distributed sort, returns
+    (padded_keys, payloads, counts, overflow) as device arrays."""
+    if mesh is None:
+        mesh = make_mesh()
+    lossy_f64 = jax.default_backend() != "cpu"
+
+    def _host_bits(x):
+        x = np.asarray(x)
+        if lossy_f64 and x.dtype == np.float64:
+            return x.view(np.uint64), np.dtype(np.float64)
+        return x, None
+
+    keys, key_dtype = _host_bits(keys)
+    pl = [_host_bits(p) for p in payloads]
+    payloads = tuple(p for p, _ in pl)
+    meta = {"key_dtype": key_dtype, "payload_dtypes": [dt for _, dt in pl]}
+
+    sharding = NamedSharding(mesh, P(axis))
+    keys_d = jax.device_put(jnp.asarray(keys), sharding)
+    pays_d = tuple(jax.device_put(jnp.asarray(p), sharding) for p in payloads)
+    fn = jax.jit(functools.partial(
+        distributed_sort_sharded, mesh=mesh, axis=axis, ascending=ascending,
+        capacity_factor=capacity_factor,
+        samples_per_device=samples_per_device, key_dtype=key_dtype))
+    out_keys, out_pays, counts, overflow = fn(keys_d, pays_d)
+    return out_keys, out_pays, counts, overflow, meta
+
+
+def gather_result(out_keys, out_pays, counts, meta=None):
+    """Concatenate each device's valid prefix (host-side) -> sorted table."""
+    counts = np.asarray(counts)
+    num_p = counts.shape[0]
+    ko = np.asarray(out_keys)
+    per_dev = ko.shape[0] // num_p
+    keys_parts, pay_parts = [], [[] for _ in out_pays]
+    for p in range(num_p):
+        c = int(counts[p])
+        keys_parts.append(ko[p * per_dev: p * per_dev + c])
+        for j, pp in enumerate(out_pays):
+            pay_parts[j].append(np.asarray(pp)[p * per_dev: p * per_dev + c])
+    keys_all = np.concatenate(keys_parts) if keys_parts else ko[:0]
+    pays_all = [np.concatenate(pp) for pp in pay_parts]
+    if meta:
+        if meta.get("key_dtype") is not None:
+            keys_all = keys_all.view(meta["key_dtype"])
+        for j, dt in enumerate(meta.get("payload_dtypes", [])):
+            if dt is not None:
+                pays_all[j] = pays_all[j].view(dt)
+    return keys_all, tuple(pays_all)

@@ -1,0 +1,70 @@
+"""Distributed sort tests on the virtual 8-device CPU mesh.
+
+Validates the full multi-chip pipeline (local sort -> sampled splitters ->
+all_to_all exchange -> merge) end to end against the NumPy model, including
+duplicate-heavy distributions that exercise the tie-break balancing.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from simd_radix_sort_tpu.parallel import dist_sort
+from simd_radix_sort_tpu.utils import common
+from simd_radix_sort_tpu.utils import data as D
+from simd_radix_sort_tpu.utils import transforms
+
+
+def _run(key_dtype, payload_dtypes, dist, n, ascending=True, num_devices=8,
+         capacity_factor=2.0):
+    mesh = dist_sort.make_mesh(num_devices)
+    keys = D.make_keys(n, key_dtype, dist, seed=77)
+    payloads = D.make_payloads(keys, payload_dtypes, "fast")
+    out_k, out_p, counts, overflow, meta = dist_sort.distributed_sort(
+        keys, *payloads, mesh=mesh, ascending=ascending,
+        capacity_factor=capacity_factor)
+    assert not bool(np.asarray(overflow).any()), "capacity overflow"
+    got_k, got_p = dist_sort.gather_result(out_k, out_p, counts, meta)
+    assert got_k.shape == keys.shape
+    err = D.check_data(got_k, got_p, keys, ascending)
+    assert err == "", err
+    want = transforms.sort_np(keys, *payloads, ascending=ascending)
+    assert np.array_equal(got_k.view(np.uint8), want[0].view(np.uint8))
+    for a, b in zip(got_p, want[1:]):
+        assert np.array_equal(np.asarray(a).view(np.uint8), b.view(np.uint8))
+
+
+@pytest.mark.parametrize("key_dtype", [np.uint32, np.int32, np.float32,
+                                       np.uint64, np.float64, np.uint8],
+                         ids=common.type_name)
+def test_distributed_uniform(key_dtype):
+    _run(key_dtype, (np.uint32,), D.Distribution.UNIFORM, 8 * 1024)
+
+
+def test_distributed_descending_payloads():
+    _run(np.int64, (np.uint64, np.uint8), D.Distribution.GAUSSIAN,
+         8 * 2048, ascending=False)
+
+
+@pytest.mark.parametrize("dist", [D.Distribution.ZERO, D.Distribution.ZERO_ONE,
+                                  D.Distribution.SORTED,
+                                  D.Distribution.REVERSE_SORTED])
+def test_distributed_skewed_small_keys(dist):
+    """Duplicate-heavy / pre-sorted inputs: the <=32-bit tie-break must keep
+    buckets balanced (capacity_factor stays small)."""
+    _run(np.int32, (np.uint64,), dist, 8 * 1024, capacity_factor=1.5)
+
+
+def test_distributed_two_devices():
+    _run(np.uint32, (np.uint32,), D.Distribution.UNIFORM, 2 * 4096,
+         num_devices=2)
+
+
+def test_overflow_flag():
+    """With capacity far below need, overflow must be reported."""
+    mesh = dist_sort.make_mesh(8)
+    keys = np.zeros(8 * 1024, dtype=np.uint64)  # u64: no tie-break packing
+    out_k, out_p, counts, overflow, meta = dist_sort.distributed_sort(
+        keys, mesh=mesh, capacity_factor=0.25)
+    assert bool(np.asarray(overflow).any())

@@ -1,0 +1,163 @@
+"""Tests for the query operator set: filter, group aggregate, join.
+
+Each operator is checked against a plain-NumPy model on randomized tables.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from simd_radix_sort_tpu.ops import filter as filter_ops
+from simd_radix_sort_tpu.ops import hashagg, hashjoin
+from simd_radix_sort_tpu.utils import data as D
+
+
+def test_compact_stable():
+    rng = np.random.default_rng(0)
+    n = 1000
+    keys = rng.integers(0, 1000, n).astype(np.int32)
+    vals = rng.integers(0, 2**62, n).astype(np.uint64)
+    mask = keys % 3 == 0
+    count, k2, v2 = filter_ops.compact(jnp.asarray(mask), jnp.asarray(keys),
+                                       jnp.asarray(vals))
+    count = int(count)
+    assert count == mask.sum()
+    assert np.array_equal(np.asarray(k2)[:count], keys[mask])
+    assert np.array_equal(np.asarray(v2)[:count], vals[mask])
+    # tail holds the non-selected rows, stably
+    assert np.array_equal(np.asarray(k2)[count:], keys[~mask])
+
+
+def test_compact_fill_and_edges():
+    count, x = filter_ops.compact(jnp.asarray(np.array([], dtype=bool)),
+                                  jnp.asarray(np.array([], dtype=np.int32)))
+    assert int(count) == 0 and x.shape == (0,)
+    count, x = filter_ops.compact(
+        jnp.asarray(np.array([True, False, True])),
+        jnp.asarray(np.array([5, 6, 7], dtype=np.int32)), fill=-1)
+    assert int(count) == 2
+    assert np.asarray(x).tolist() == [5, 7, -1]
+
+
+def test_filter_rows_predicate():
+    keys = D.make_keys(500, np.float32, D.Distribution.GAUSSIAN, 2)
+    (pay,) = D.make_payloads(keys, [np.uint32], "fast")
+    count, k2, p2 = filter_ops.filter_rows(lambda k: k > 0, jnp.asarray(keys),
+                                           jnp.asarray(pay))
+    count = int(count)
+    m = keys > 0
+    assert count == m.sum()
+    assert np.array_equal(np.asarray(k2)[:count], keys[m])
+    assert np.array_equal(np.asarray(p2)[:count], pay[m])
+
+
+def _np_groupby(keys, vals):
+    order = np.argsort(keys, kind="stable")
+    k, v = keys[order], vals[order]
+    uniq, idx = np.unique(k, return_index=True)
+    groups = np.split(v, idx[1:])
+    return uniq, groups
+
+
+def test_group_aggregate_all_aggs():
+    rng = np.random.default_rng(1)
+    n = 2000
+    keys = rng.integers(0, 57, n).astype(np.int32)
+    vals = rng.integers(-100, 100, n).astype(np.int32)
+    ng, gk, (sums, counts, mins, maxs) = hashagg.group_aggregate(
+        jnp.asarray(keys), jnp.asarray(vals),
+        aggs=("sum", "count", "min", "max"))
+    ng = int(ng)
+    uniq, groups = _np_groupby(keys, vals)
+    assert ng == len(uniq)
+    assert np.array_equal(np.asarray(gk)[:ng], uniq)
+    assert np.array_equal(np.asarray(sums[0])[:ng],
+                          np.array([g.sum() for g in groups]))
+    assert np.array_equal(np.asarray(counts)[:ng],
+                          np.array([len(g) for g in groups]))
+    assert np.array_equal(np.asarray(mins[0])[:ng],
+                          np.array([g.min() for g in groups]))
+    assert np.array_equal(np.asarray(maxs[0])[:ng],
+                          np.array([g.max() for g in groups]))
+
+
+def test_group_aggregate_float_mean_multi_stream():
+    rng = np.random.default_rng(2)
+    n = 999
+    keys = rng.integers(0, 10, n).astype(np.uint64)
+    v1 = rng.normal(size=n).astype(np.float32)
+    v2 = rng.integers(0, 1000, n).astype(np.uint32)
+    ng, gk, (means,) = hashagg.group_aggregate(
+        jnp.asarray(keys), (jnp.asarray(v1), jnp.asarray(v2)), aggs=("mean",))
+    ng = int(ng)
+    uniq, g1 = _np_groupby(keys, v1)
+    _, g2 = _np_groupby(keys, v2)
+    assert ng == len(uniq)
+    np.testing.assert_allclose(np.asarray(means[0])[:ng],
+                               np.array([g.mean() for g in g1]),
+                               rtol=1e-5)
+    want2 = np.array([g.sum() // len(g) for g in g2], dtype=np.uint64)
+    assert np.array_equal(np.asarray(means[1])[:ng].astype(np.uint64), want2)
+
+
+def test_group_aggregate_single_group_and_empty():
+    ng, gk, (s,) = hashagg.group_aggregate(
+        jnp.asarray(np.zeros(64, np.int32)),
+        jnp.asarray(np.ones(64, np.int32)), aggs=("sum",))
+    assert int(ng) == 1 and int(np.asarray(s[0])[0]) == 64
+    ng, gk, (s,) = hashagg.group_aggregate(
+        jnp.asarray(np.zeros(0, np.int32)),
+        jnp.asarray(np.zeros(0, np.int32)), aggs=("sum",))
+    assert int(ng) == 0
+
+
+def test_lookup_join_unique_build():
+    rng = np.random.default_rng(3)
+    build_k = np.unique(rng.integers(0, 10000, 500).astype(np.int32))
+    build_v = (build_k.astype(np.uint32) * 7 + 1)
+    probe_k = rng.integers(0, 10000, 1000).astype(np.int32)
+    found, counts, (got_v,) = hashjoin.lookup_join(
+        jnp.asarray(probe_k), jnp.asarray(build_k), (jnp.asarray(build_v),))
+    found = np.asarray(found)
+    in_build = np.isin(probe_k, build_k)
+    assert np.array_equal(found, in_build)
+    assert np.array_equal(np.asarray(counts)[in_build], np.ones(in_build.sum()))
+    assert np.array_equal(np.asarray(got_v)[in_build],
+                          probe_k[in_build].astype(np.uint32) * 7 + 1)
+
+
+def test_inner_join_expand_duplicates():
+    probe_k = np.array([5, 3, 9, 5, 1], dtype=np.int32)
+    probe_v = np.array([50, 30, 90, 51, 10], dtype=np.uint32)
+    build_k = np.array([5, 5, 3, 7], dtype=np.int32)
+    build_v = np.array([500, 501, 300, 700], dtype=np.uint32)
+    total, pidx, pk, (pv,), (bv,) = hashjoin.inner_join_expand(
+        jnp.asarray(probe_k), (jnp.asarray(probe_v),),
+        jnp.asarray(build_k), (jnp.asarray(build_v),), capacity=16)
+    total = int(total)
+    # expected matches: probe0(5)x2, probe1(3)x1, probe3(5)x2 = 5 rows
+    assert total == 5
+    rows = sorted(zip(np.asarray(pk)[:total].tolist(),
+                      np.asarray(pv)[:total].tolist(),
+                      np.asarray(bv)[:total].tolist()))
+    want = sorted([(5, 50, 500), (5, 50, 501), (3, 30, 300),
+                   (5, 51, 500), (5, 51, 501)])
+    assert rows == want
+
+
+def test_pipeline_filter_sort_aggregate():
+    """The north-star pipeline shape: filter -> sort -> group aggregate
+    (BASELINE.json config 4), checked against NumPy end to end."""
+    rng = np.random.default_rng(4)
+    n = 5000
+    keys = rng.integers(0, 200, n).astype(np.int64)
+    vals = rng.integers(0, 1000, n).astype(np.int64)
+    count, fk, fv = filter_ops.compact(jnp.asarray(keys % 2 == 0),
+                                       jnp.asarray(keys), jnp.asarray(vals))
+    c = int(count)
+    ng, gk, (sums,) = hashagg.group_aggregate(fk[:c], fv[:c], aggs=("sum",))
+    m = keys % 2 == 0
+    uniq, groups = _np_groupby(keys[m], vals[m])
+    assert int(ng) == len(uniq)
+    assert np.array_equal(np.asarray(gk)[:int(ng)], uniq)
+    assert np.array_equal(np.asarray(sums[0])[:int(ng)],
+                          np.array([g.sum() for g in groups]))
