@@ -1,0 +1,164 @@
+"""Benchmark harness with reference-protocol parity.
+
+Functional equivalent of /root/reference/src/perf.hpp:
+  * measure_ns_per_element mirrors measureTimePerElement (perf.hpp:28-63):
+    fresh dataset, layout conversion outside the timed region, the sort
+    bracketed by wall timing, and the output VERIFIED on every measurement
+    (perf.hpp:51-59 exits on failure; we raise);
+  * repetition protocol: max(1, 2^22/n) measured runs over fresh datasets
+    plus max(1, 2^18/n) warmups (perf.hpp:65-89);
+  * experiment families writing whitespace .dat tables with the reference's
+    header rows (perf.hpp:170-211, 383-385, 435): per-method tables,
+    n-scaling sweeps (perfTestNum), and tuning-knob sweeps (perfTestThresh's
+    equivalent: the radix block size / method knob);
+  * tables land in ./bench_out/ (the reference used /tmp/radixSortData-*).
+
+Timing on an async backend forces completion with a host fetch of a few
+output rows (block_until_ready is unreliable over the axon tunnel).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import methods as methods_mod
+from .utils import common
+from .utils import data as D
+
+OUT_DIR = os.environ.get("SRS_PERF_DIR", "bench_out")
+
+REPS_NUMERATOR = 1 << 22      # perf.hpp:65-89
+WARMUP_NUMERATOR = 1 << 18
+
+
+def _sync(arrs):
+    for a in arrs:
+        if isinstance(a, jax.Array):
+            np.asarray(a.ravel()[:1])
+
+
+def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
+                           distribution=D.Distribution.UNIFORM,
+                           ascending: bool = True, seed: int = 1,
+                           validate: bool = True, reps: int | None = None,
+                           warmups: int | None = None) -> float:
+    """ns per element for one (method, workload) cell, reference protocol."""
+    m = methods_mod.resolve(method, key_dtype, payload_dtypes, num)
+    reps = reps if reps is not None else max(1, REPS_NUMERATOR // max(num, 1))
+    warmups = (warmups if warmups is not None
+               else max(1, WARMUP_NUMERATOR // max(num, 1)))
+    # jit once per shape/dtype combo; data refreshed per rep like the
+    # reference's fresh clone per measurement (perf.hpp:70-80)
+    fn = jax.jit(lambda k, ps: m.run(k, ps, ascending=ascending, stable=False,
+                                     block_threshold=None, key_dtype=None))
+
+    def fresh(i):
+        keys = D.make_keys(num, key_dtype, distribution, seed + i)
+        pays = D.make_payloads(keys, payload_dtypes, "fast")
+        return keys, tuple(jnp.asarray(p) for p in pays)
+
+    datasets = [fresh(i) for i in range(min(reps, 8))]
+    for w in range(warmups):
+        k, ps = datasets[w % len(datasets)]
+        out = fn(jnp.asarray(k), ps)
+        _sync([out[0]])
+
+    total = 0.0
+    last = None
+    for r in range(reps):
+        keys, pays = datasets[r % len(datasets)]
+        kd = jnp.asarray(keys)
+        _sync([kd] + list(pays))
+        t0 = time.perf_counter()
+        out = fn(kd, pays)
+        _sync([out[0]])
+        total += time.perf_counter() - t0
+        last = (keys, out)
+    if validate and num and last is not None:
+        keys, out = last
+        ko = np.asarray(out[0])
+        po = tuple(np.asarray(p) for p in out[1])
+        err = D.check_data(ko, po, keys, ascending)
+        if err:
+            raise AssertionError(
+                f"perf measurement produced wrong output ({err}) for "
+                f"{method} {common.type_name(key_dtype)} n={num}")
+    return total / reps / max(num, 1) * 1e9
+
+
+def _write_dat(name: str, header: str, rows) -> str:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, name)
+    with open(path, "w") as f:
+        f.write(header + "\n")
+        for row in rows:
+            f.write(" ".join(str(c) for c in row) + "\n")
+    return path
+
+
+def perf_test(methods, num: int, key_dtype, payload_dtypes,
+              distribution=D.Distribution.UNIFORM, **kw) -> str:
+    """Per-method ns/elem table for one workload (PerfTest::perfTest,
+    perf.hpp:418-461; header perf.hpp:435)."""
+    rows = []
+    for m in methods:
+        ns = measure_ns_per_element(m, num, key_dtype, payload_dtypes,
+                                    distribution, **kw)
+        rows.append((m, f"{ns:.4f}"))
+    name = "-".join([common.type_name(key_dtype)]
+                    + [common.type_name(p) for p in payload_dtypes]
+                    + [distribution.value, str(num)]) + ".dat"
+    return _write_dat(name, "sort_method nanoseconds_per_element", rows)
+
+
+def perf_test_num(methods, key_dtype, payload_dtypes,
+                  distribution=D.Distribution.UNIFORM,
+                  max_num: int = 1 << 22, **kw) -> str:
+    """n-scaling sweep, n = 1, 2, 4 ... max_num (PerfTest::perfTestNum,
+    perf.hpp:368-416; header perf.hpp:383-385)."""
+    rows = []
+    n = 1
+    while n <= max_num:
+        row = [n]
+        for m in methods:
+            row.append(f"{measure_ns_per_element(m, n, key_dtype, payload_dtypes, distribution, **kw):.4f}")
+        rows.append(row)
+        n *= 2
+    name = "tpe-" + "-".join([common.type_name(key_dtype)]
+                             + [common.type_name(p) for p in payload_dtypes]
+                             + [distribution.value]) + ".dat"
+    return _write_dat(name, "number_of_elements " + " ".join(methods), rows)
+
+
+def perf_test_block(num: int, key_dtype, payload_dtypes,
+                    blocks=(256, 512, 1024, 2048, 4096, 8192),
+                    distribution=D.Distribution.UNIFORM,
+                    seed: int = 1) -> str:
+    """Tuning-knob sweep: radix histogram/rank block size — the engine's
+    analogue of the reference's cmpSortThreshold sweep (perfTestThresh,
+    perf.hpp:159-212)."""
+    from .ops import radix
+    rows = []
+    for b in blocks:
+        fn = jax.jit(lambda k, ps, b=b: radix.sort_arrays(k, ps, block=b))
+        keys = D.make_keys(num, key_dtype, distribution, seed)
+        pays = tuple(jnp.asarray(p) for p in
+                     D.make_payloads(keys, payload_dtypes, "fast"))
+        out = fn(jnp.asarray(keys), pays)
+        _sync([out[0]])
+        reps = max(1, REPS_NUMERATOR // max(num, 1))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(jnp.asarray(keys), pays)
+            _sync([out[0]])
+        ns = (time.perf_counter() - t0) / reps / max(num, 1) * 1e9
+        rows.append((b, f"{ns:.4f}"))
+    name = "block-" + "-".join([common.type_name(key_dtype)]
+                               + [common.type_name(p) for p in payload_dtypes]
+                               + [distribution.value, str(num)]) + ".dat"
+    return _write_dat(name, "blockSize nanoseconds_per_element", rows)

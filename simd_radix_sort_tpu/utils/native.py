@@ -1,0 +1,134 @@
+"""ctypes bindings for the native C++ harness (native/harness.cpp).
+
+The native library plays the reference's L5 harness role at native speed:
+reference-exact dataset generation (std::mt19937 + libstdc++ distributions +
+glibc rand payload protocol) and validation oracles fast enough for
+100M+-row benchmark outputs.  Built on demand with the system toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from . import common
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsrsharness.so")
+
+_TYPE_IDS = {np.dtype(d): i for i, d in enumerate(common.KEY_DTYPES)}
+
+_lib = None
+
+
+def _build():
+    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                   capture_output=True)
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH)
+                < os.path.getmtime(os.path.join(_NATIVE_DIR, "harness.cpp"))):
+            _build()
+        L = ctypes.CDLL(_LIB_PATH)
+        L.srs_make_keys.restype = ctypes.c_int
+        L.srs_make_keys.argtypes = [ctypes.c_int, ctypes.c_int64,
+                                    ctypes.c_int, ctypes.c_int64,
+                                    ctypes.c_void_p]
+        L.srs_make_payload_bytes.restype = ctypes.c_int
+        L.srs_make_payload_bytes.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p]
+        L.srs_check_payload_bytes.restype = ctypes.c_int64
+        L.srs_check_payload_bytes.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p]
+        L.srs_is_sorted.restype = ctypes.c_int
+        L.srs_is_sorted.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                                    ctypes.c_int64, ctypes.c_int]
+        L.srs_same_multiset.restype = ctypes.c_int
+        L.srs_same_multiset.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                                        ctypes.c_void_p, ctypes.c_int64]
+        _lib = L
+    return _lib
+
+
+def available() -> bool:
+    try:
+        lib()
+        return True
+    except Exception:
+        return False
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def make_keys(num: int, dtype, distribution, seed: int = 0) -> np.ndarray:
+    """Reference-exact keys (std::mt19937 + libstdc++ distributions), the
+    C++ Data<K,...> constructor protocol (data.hpp:105-170)."""
+    from . import data as D
+    dtype = np.dtype(dtype)
+    dist_id = list(D.Distribution).index(D.Distribution(distribution)
+                                         if not isinstance(distribution,
+                                                           D.Distribution)
+                                         else distribution)
+    out = np.empty(num, dtype=dtype)
+    rc = lib().srs_make_keys(_TYPE_IDS[dtype], num, dist_id, seed, _ptr(out))
+    if rc != 0:
+        raise RuntimeError(f"srs_make_keys failed: {rc}")
+    return out
+
+
+def make_payloads(keys: np.ndarray, payload_dtypes):
+    """Reference-exact payloads (glibc srand/rand protocol, data.hpp:393-406)
+    at native speed."""
+    keys = np.ascontiguousarray(keys)
+    dts = [np.dtype(d) for d in payload_dtypes]
+    total = sum(d.itemsize for d in dts)
+    packed = np.empty((len(keys), total), dtype=np.uint8)
+    rc = lib().srs_make_payload_bytes(keys.dtype.itemsize, _ptr(keys),
+                                      len(keys), total, _ptr(packed))
+    if rc != 0:
+        raise RuntimeError(f"srs_make_payload_bytes failed: {rc}")
+    out = []
+    off = 0
+    for d in dts:
+        col = np.ascontiguousarray(packed[:, off:off + d.itemsize])
+        out.append(col.reshape(-1).view(d))
+        off += d.itemsize
+    return tuple(out)
+
+
+def check_payloads(keys: np.ndarray, payloads) -> int:
+    """Returns -1 if every payload regenerates from its key, else the first
+    bad row index (checkPayloads, data.hpp:249-270)."""
+    from ..ops.sort import pack_rows
+    keys = np.ascontiguousarray(keys)
+    packed = np.ascontiguousarray(pack_rows(keys, payloads)[:,
+                                  keys.dtype.itemsize:])
+    total = packed.shape[1]
+    return int(lib().srs_check_payload_bytes(
+        keys.dtype.itemsize, _ptr(keys), len(keys), total, _ptr(packed)))
+
+
+def is_sorted(keys: np.ndarray, ascending: bool = True) -> bool:
+    keys = np.ascontiguousarray(keys)
+    return bool(lib().srs_is_sorted(_TYPE_IDS[np.dtype(keys.dtype)],
+                                    _ptr(keys), len(keys), int(ascending)))
+
+
+def same_multiset(a: np.ndarray, b: np.ndarray) -> bool:
+    a = np.ascontiguousarray(a)
+    b = np.ascontiguousarray(b)
+    assert a.dtype == b.dtype and a.shape == b.shape
+    return bool(lib().srs_same_multiset(_TYPE_IDS[np.dtype(a.dtype)],
+                                        _ptr(a), _ptr(b), len(a)))
