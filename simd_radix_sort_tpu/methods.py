@@ -77,6 +77,18 @@ def _rank_supports(key_dtype, payload_dtypes, n) -> bool:
     return n is None or n <= rank_sort.MAX_RANK_SORT_N
 
 
+def _run_count(keys, payloads, *, ascending=True, stable=False,
+               block_threshold=None, key_dtype=None):
+    from .ops import counting
+    assert not payloads
+    return counting.sort_keys(keys, ascending=ascending, key_dtype=key_dtype)
+
+
+def _count_supports(key_dtype, payload_dtypes, n) -> bool:
+    from .ops import counting
+    return counting.supports(key_dtype, payload_dtypes, n)
+
+
 REGISTRY: dict[str, SortMethod] = {}
 
 
@@ -87,14 +99,22 @@ def register(method: SortMethod):
 register(SortMethod("xla", _run_xla, _supports_all))
 register(SortMethod("radix", _run_radix, _supports_all, has_threshold=True))
 register(SortMethod("rank", _run_rank, _rank_supports))
+register(SortMethod("count", _run_count, _count_supports))
 register(SortMethod("seq", _run_seq, _supports_all, device=False))
 
 
 def resolve(method: str, key_dtype, payload_dtypes: Sequence, n: int | None
             ) -> SortMethod:
     """Pick a method; "auto" chooses the best supported engine for the shape
-    (mirrors how the reference harness picks per-workload configurations)."""
+    (mirrors how the reference harness picks per-workload configurations,
+    backed by on-chip measurements — see bench_notes in perf.py)."""
     if method == "auto":
+        # keys-only narrow/adaptive-range integer keys: counting sort runs
+        # near memory bandwidth (its >K_MAX_RANGE fallback is the xla path,
+        # chosen inside jit via lax.cond, so picking it is always safe).
+        if _count_supports(np.dtype(key_dtype),
+                           tuple(np.dtype(d) for d in payload_dtypes), n):
+            return REGISTRY["count"]
         return REGISTRY["xla"]
     m = REGISTRY.get(method)
     if m is None:

@@ -1,0 +1,134 @@
+"""Counting / histogram sort for keys-only workloads — the TPU answer to
+byte-wise LSD radix on narrow keys.
+
+The reference's own evaluation concedes that its binary radix loses to
+byte-histogram radix (Intel IPP) on narrow keys: uint8 0.497 vs 0.226
+ns/elem, int16 8.06 vs 3.18 (BASELINE.md; thesis tex:4068-4090).  A TPU has
+no per-element scatter worth using, but for KEYS-ONLY sorts no scatter is
+needed at all: the sorted output is fully determined by the histogram, and
+both the histogram and the expansion are dense vector reductions that XLA
+fuses into streaming passes:
+
+    hist[b] = sum_i (v_i == b)            (broadcast compare, fused reduce)
+    out[i]  = sum_b (i >= cum_b)          (broadcast compare, fused reduce)
+
+Cost is O(K) lane-ops per element with zero gathers/scatters, so for small K
+it runs near memory bandwidth — several times the reference's AVX-512 binary
+radix on the same rows.
+
+Two modes:
+
+  * fixed-K: 1-byte keys (u8/i8), K = 256, always applicable.
+  * adaptive-range: any integer key <= 32 bit; at runtime computes
+    (min, max) of the transformed carrier and, if max - min < K_MAX_RANGE,
+    counting-sorts values offset by min; otherwise falls back to the
+    comparison sort inside a `lax.cond`.  This is the TPU-native analogue of
+    the reference quicksort's adaptive pivot strategy and constant-range
+    pruning (/root/reference/src/quick_sort.hpp:296-332): degenerate
+    distributions (Zero, ZeroOne, narrow Gaussians) collapse to two cheap
+    passes instead of a full sort.
+
+Keys-only is exactly the scope where the reference's strongest competitors
+(IPPRadix, BlacherSort) play (src/sort_methods.hpp:270-289, 329-347).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import transforms
+
+# Adaptive-range bucket budget.  K compares/element on the VPU: 4096 lane-ops
+# per element ~= 4 cycles — past this the comparison sort wins.
+K_MAX_RANGE = 4096
+_BLOCK = 1 << 17  # rows per fused compare-reduce step
+
+
+def _blocked(x: jax.Array):
+    """Pad a 1-D array to a multiple of _BLOCK and reshape to (steps, _BLOCK).
+    Returns (blocks, original_n)."""
+    n = x.shape[0]
+    pad = (-n) % _BLOCK
+    return jnp.pad(x, (0, pad)).reshape(-1, _BLOCK), n
+
+
+def _histogram(v: jax.Array, k: int, base: jax.Array) -> jax.Array:
+    """hist[b] = #{i < n : v_i - base == b} for b in [0, k).  Values outside
+    [base, base+k) and padding rows contribute nothing."""
+    blocks, n = _blocked(v)
+    o = (blocks - base).astype(jnp.uint32)
+    idx = jnp.arange(blocks.size, dtype=jnp.int32).reshape(blocks.shape)
+    # clamp out-of-range / padding rows to the dropped bucket k
+    o = jnp.where((blocks >= base) & (o < jnp.uint32(k)) & (idx < n),
+                  o, jnp.uint32(k))
+    buckets = jnp.arange(k + 1, dtype=jnp.uint32)
+
+    def step(acc, blk):
+        onehot = blk[:, None] == buckets[None, :]
+        return acc + jnp.sum(onehot, axis=0, dtype=jnp.int32), None
+
+    hist, _ = jax.lax.scan(step, jnp.zeros(k + 1, jnp.int32), o)
+    return hist[:k]
+
+
+def _expand(hist: jax.Array, n: int, base: jax.Array, out_dtype) -> jax.Array:
+    """Inverse of the histogram: out[i] = base + #{b : cum_b <= i} — the
+    sorted carrier sequence."""
+    cum = jnp.cumsum(hist, dtype=jnp.int32)  # inclusive prefix counts
+    rows, _ = _blocked(jnp.arange(n, dtype=jnp.int32))
+
+    def step(_, blk):
+        return None, jnp.sum(blk[:, None] >= cum[None, :], axis=1,
+                             dtype=jnp.int32)
+
+    _, out = jax.lax.scan(step, None, rows)
+    return (out.reshape(-1)[:n].astype(jnp.uint32)
+            + base.astype(jnp.uint32)).astype(out_dtype)
+
+
+def counting_sort_carrier(u: jax.Array, k: int, base) -> jax.Array:
+    """Sort an unsigned carrier array whose values all lie in
+    [base, base + k) — two fused streaming passes, no data movement."""
+    base = jnp.asarray(base, u.dtype)
+    hist = _histogram(u, k, base)
+    return _expand(hist, u.shape[0], base, u.dtype)
+
+
+def sort_keys(keys: jax.Array, ascending: bool = True, key_dtype=None):
+    """Keys-only sort via counting (1-byte dtypes) or adaptive range
+    counting with comparison-sort fallback (2/4-byte integer dtypes)."""
+    dtype = np.dtype(key_dtype) if key_dtype is not None else np.dtype(keys.dtype)
+    if keys.shape[0] == 0:
+        return keys, ()
+    (u,) = transforms.key_operands(keys, ascending, key_dtype)
+
+    if dtype.itemsize == 1:
+        out = counting_sort_carrier(u, 256, 0)
+    else:
+        lo = jnp.min(u)
+        rng = jnp.max(u) - lo  # unsigned, >= 0
+
+        def small(_):
+            return counting_sort_carrier(u, K_MAX_RANGE, lo)
+
+        def big(_):
+            return jax.lax.sort((u,), num_keys=1)[0]
+
+        out = jax.lax.cond(
+            rng.astype(jnp.uint32) < jnp.uint32(K_MAX_RANGE), small, big, None)
+
+    keys_out = transforms.keys_from_operands(
+        (out,), key_dtype or keys.dtype, ascending, as_bits=key_dtype is not None)
+    return keys_out, ()
+
+
+def supports(key_dtype, payload_dtypes, n) -> bool:
+    """Capability predicate for the method registry: keys-only, integer
+    keys up to 32 bits (64-bit carriers split into two operands, which
+    counting cannot use), any n."""
+    if payload_dtypes:
+        return False
+    dt = np.dtype(key_dtype)
+    return dt.kind in "ui" and dt.itemsize <= 4
