@@ -44,7 +44,10 @@ def _hist_kernel(k: int, x_ref, out_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:]
-    rows = [jnp.sum((x == b).astype(jnp.int32), axis=0) for b in range(k)]
+    # dtype pinned: under x64, jnp.sum(int32) would promote to int64, which
+    # Mosaic cannot lower
+    rows = [jnp.sum((x == b).astype(jnp.int32), axis=0, dtype=jnp.int32)
+            for b in range(k)]
     acc_ref[:] = acc_ref[:] + jnp.stack(rows, axis=0)
 
     @pl.when(i == pl.num_programs(0) - 1)
@@ -61,17 +64,20 @@ def histogram(offsets: jax.Array, k: int, interpret: bool = False) -> jax.Array:
     pad = (-n) % block
     x = jnp.pad(offsets, (0, pad), constant_values=np.int32(k)).reshape(-1, 128)
     grid = x.shape[0] // HIST_BLOCK_ROWS
-    out = pl.pallas_call(
-        functools.partial(_hist_kernel, k),
-        grid=(grid,),
-        in_specs=[pl.BlockSpec((HIST_BLOCK_ROWS, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((k, 128), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((k, 128), jnp.int32)],
-        interpret=interpret,
-    )(x)
+    # trace the kernel with x64 promotion off: Mosaic cannot lower the i64
+    # literals/index arithmetic that jax_enable_x64 would otherwise inject
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_hist_kernel, k),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((HIST_BLOCK_ROWS, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((k, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k, 128), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((k, 128), jnp.int32)],
+            interpret=interpret,
+        )(x)
     return jnp.sum(out, axis=1, dtype=jnp.int32)
 
 
@@ -126,17 +132,19 @@ def fill_runs(hist: jax.Array, n: int, base, dtype,
     vblk = jnp.sum(cum[None, 1:] <= starts[:, None], axis=1,
                    dtype=jnp.int32)
     vblk = jnp.minimum(vblk, k - 1)
-    out = pl.pallas_call(
-        functools.partial(_fill_kernel, k, dtype),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(grid,),
-            in_specs=[],
-            out_specs=pl.BlockSpec((FILL_BLOCK // 128, 128),
-                                   lambda i, *_: (i, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), dtype),
-        interpret=interpret,
-    )(vblk, cum, jnp.asarray([base], jnp.int32))
+    base_arr = jnp.asarray([base], jnp.int32)
+    with jax.enable_x64(False):  # see histogram()
+        out = pl.pallas_call(
+            functools.partial(_fill_kernel, k, dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(grid,),
+                in_specs=[],
+                out_specs=pl.BlockSpec((FILL_BLOCK // 128, 128),
+                                       lambda i, *_: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_pad // 128, 128), dtype),
+            interpret=interpret,
+        )(vblk, cum, base_arr)
     return out.reshape(-1)[:n]
