@@ -24,7 +24,7 @@ sys.path.insert(0, ".")
 from simd_radix_sort_tpu import perf  # noqa: E402
 from simd_radix_sort_tpu.utils import data as D  # noqa: E402
 
-METHODS = ["xla", "radix"]  # device methods (seq is a host baseline)
+METHODS = ["xla", "radix", "count"]  # device methods (seq is a host baseline)
 
 TYPE_COMBOS = [
     (np.int32, ()),

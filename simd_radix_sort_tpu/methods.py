@@ -84,6 +84,22 @@ def _run_count(keys, payloads, *, ascending=True, stable=False,
     return counting.sort_keys(keys, ascending=ascending, key_dtype=key_dtype)
 
 
+def _run_quick(keys, payloads, *, ascending=True, stable=False,
+               block_threshold=None, key_dtype=None):
+    from .ops import quick_sort
+    keys = np.asarray(keys)
+    if key_dtype is not None:
+        keys = keys.view(np.dtype(key_dtype))
+    out = quick_sort.sort_np(keys, *[np.asarray(p) for p in payloads],
+                             ascending=ascending,
+                             threshold=block_threshold
+                             or quick_sort.CMP_SORT_THRESHOLD)
+    keys_out = out[0]
+    if key_dtype is not None:
+        keys_out = keys_out.view(np.uint64)
+    return jnp.asarray(keys_out), tuple(jnp.asarray(p) for p in out[1:])
+
+
 def _count_supports(key_dtype, payload_dtypes, n) -> bool:
     from .ops import counting
     return counting.supports(key_dtype, payload_dtypes, n)
@@ -100,6 +116,8 @@ register(SortMethod("xla", _run_xla, _supports_all))
 register(SortMethod("radix", _run_radix, _supports_all, has_threshold=True))
 register(SortMethod("rank", _run_rank, _rank_supports))
 register(SortMethod("count", _run_count, _count_supports))
+register(SortMethod("quick", _run_quick, _supports_all, has_threshold=True,
+                    device=False))
 register(SortMethod("seq", _run_seq, _supports_all, device=False))
 
 

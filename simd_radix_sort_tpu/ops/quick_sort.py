@@ -1,0 +1,168 @@
+"""Quicksort family: pivot partition primitive + full quicksort engine.
+
+TPU-native counterpart of the reference's quicksort variant
+(/root/reference/src/quick_sort.hpp):
+
+  * `partition(keys, payloads, pivot)` — the PartitionerSIMD equivalent
+    (quick_sort.hpp:67-235): stable two-way split of key/payload streams
+    around a pivot, returning (keys', payloads', split_index, key_min,
+    key_max) exactly like PartitionResult (quick_sort.hpp:25-30).  On TPU
+    the double-ended compress-store loop becomes one stable variadic sort
+    by the 1-bit predicate (a dense, jittable pass); min/max ride along as
+    vector reduces.  This is the building block dist_sort's skew handling
+    and the filter operator share.
+
+  * `sort(...)` — quickRecursion semantics (quick_sort.hpp:296-332):
+    median-of-9 pivots (quick_sort.hpp:285-294), overflow-safe interval
+    midpoints (`get_average`, quick_sort.hpp:263-268), the 80/20 anti-skew
+    strategy toggle (ratio < 0.2 -> switch pivot rule, quick_sort.hpp:
+    316-319), and constant-range pruning (skip recursion when
+    pivot > smallest / next_val(pivot) < largest, quick_sort.hpp:321-330).
+    Recursion over data-dependent segment boundaries cannot live under one
+    static-shape jit, so the recursion driver runs on the host over carrier
+    arrays (like the reference's call tree runs on the CPU), delegating
+    each partition to vectorized NumPy.  It serves as the differential
+    model for the pivot logic and as the `quick` registry method; the
+    jit-compatible production engines are xla/radix/count.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import transforms
+
+CMP_SORT_THRESHOLD = 16  # reference default (radix_sort.hpp:334-337)
+
+
+def partition(keys: jax.Array, payloads, pivot, ascending: bool = True):
+    """Stable two-way partition around `pivot` (inclusive left side).
+
+    Returns (keys_out, payloads_out, split, kmin, kmax): rows with
+    key <= pivot (ascending order sense) precede the rest; `split` is the
+    left-side row count; kmin/kmax are the observed key extremes
+    (PartitionResult, quick_sort.hpp:25-30).  Jittable, static shapes."""
+    if keys.shape[0] == 0:
+        return (keys, tuple(payloads), jnp.int32(0), keys, keys)
+    kops = transforms.key_operands(keys, ascending)
+    pops = transforms.key_operands(jnp.full((1,), pivot, keys.dtype), ascending)
+    if len(kops) == 2:
+        hi, lo = kops
+        le = (hi < pops[0][0]) | ((hi == pops[0][0]) & (lo <= pops[1][0]))
+        # lexicographic extremes of (hi, lo)
+        minhi, maxhi = jnp.min(hi), jnp.max(hi)
+        minlo = jnp.min(jnp.where(hi == minhi, lo,
+                                  np.uint32(0xFFFFFFFF).astype(lo.dtype)))
+        maxlo = jnp.max(jnp.where(hi == maxhi, lo, lo.dtype.type(0)))
+        min_ops = (minhi.reshape(1), minlo.reshape(1))
+        max_ops = (maxhi.reshape(1), maxlo.reshape(1))
+    else:
+        (u,) = kops
+        le = u <= pops[0][0]
+        min_ops = (jnp.min(u).reshape(1),)
+        max_ops = (jnp.max(u).reshape(1),)
+    side = jnp.where(le, jnp.uint32(0), jnp.uint32(1))
+    out = jax.lax.sort((side,) + tuple(kops) + tuple(payloads), num_keys=1,
+                       is_stable=True)
+    split = jnp.sum(le.astype(jnp.int32), dtype=jnp.int32)
+    keys_out = transforms.keys_from_operands(out[1:1 + len(kops)],
+                                             keys.dtype, ascending)
+    kmin = transforms.keys_from_operands(min_ops, keys.dtype, ascending)[0]
+    kmax = transforms.keys_from_operands(max_ops, keys.dtype, ascending)[0]
+    return keys_out, tuple(out[1 + len(kops):]), split, kmin, kmax
+
+
+# ---------------------------------------------------------------------------
+# Host recursion driver (differential model of quick_sort.hpp semantics)
+# ---------------------------------------------------------------------------
+
+def _next_val(v: np.uint64, umax: np.uint64) -> np.uint64:
+    """nextVal on the unsigned carrier (quick_sort.hpp:237-246)."""
+    return v if v == umax else v + np.uint64(1)
+
+
+def _get_average(a: np.uint64, b: np.uint64) -> np.uint64:
+    """Overflow-safe midpoint (a&b) + ((a^b)>>1) (quick_sort.hpp:263-268)."""
+    return (a & b) + ((a ^ b) >> np.uint64(1))
+
+
+def _median(a, b, c):
+    return max(min(a, b), min(max(a, b), c))
+
+
+def _median_of_9(u: np.ndarray, left: int, right: int) -> np.uint64:
+    """Median of 3 medians of 3, sampled like getMedianOf9
+    (quick_sort.hpp:275-294)."""
+    n = right - left + 1
+    if n < 9:
+        return u[left + n // 2]
+    step = n // 8
+    s = [u[left + i * step] for i in range(8)] + [u[right]]
+    return _median(_median(s[0], s[1], s[2]),
+                   _median(s[3], s[4], s[5]),
+                   _median(s[6], s[7], s[8]))
+
+
+def _quick_recursion(u: np.ndarray, pays: list, left: int, right: int,
+                     choose_avg: bool, avg: np.uint64, umax: np.uint64,
+                     threshold: int):
+    """quickRecursion (quick_sort.hpp:296-332) on the unsigned carrier."""
+    n = right - left + 1
+    if n <= 1:
+        return
+    if n <= threshold:  # insertion-sort base case -> stable slice sort
+        order = np.argsort(u[left:right + 1], kind="stable")
+        u[left:right + 1] = u[left:right + 1][order]
+        for p in pays:
+            p[left:right + 1] = p[left:right + 1][order]
+        return
+
+    pivot = avg if choose_avg else _median_of_9(u, left, right)
+    seg = u[left:right + 1]
+    le = seg <= pivot
+    smallest, largest = seg.min(), seg.max()
+    order = np.argsort(~le, kind="stable")  # stable partition
+    u[left:right + 1] = seg[order]
+    for p in pays:
+        p[left:right + 1] = p[left:right + 1][order]
+    split = left + int(le.sum())
+
+    # anti-skew toggle (ratio < 0.2 on either side -> flip strategy)
+    ratio = (split - left) / n
+    next_choose = not choose_avg if min(ratio, 1 - ratio) < 0.2 else choose_avg
+
+    # constant-range pruning (quick_sort.hpp:321-330)
+    if pivot > smallest and split - 1 > left:
+        _quick_recursion(u, pays, left, split - 1, next_choose,
+                         _get_average(smallest, pivot), umax, threshold)
+    if _next_val(pivot, umax) < largest and right > split:
+        _quick_recursion(u, pays, split, right, next_choose,
+                         _get_average(_next_val(pivot, umax), largest),
+                         umax, threshold)
+
+
+def sort_np(keys: np.ndarray, *payloads: np.ndarray, ascending: bool = True,
+            threshold: int = CMP_SORT_THRESHOLD):
+    """Host quicksort with the reference's exact pivot/recursion semantics.
+    Returns (keys_sorted, *payloads_sorted)."""
+    u = transforms.to_sortable_np(np.asarray(keys), ascending).copy()
+    pays = [np.asarray(p).copy() for p in payloads]
+    n = u.shape[0]
+    umax = np.uint64(np.iinfo(u.dtype).max).astype(u.dtype)
+    if n > 1:
+        import sys
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 20000))
+        try:
+            # initial pivot = midpoint of the full type range
+            # (quick_sort.hpp:334-361)
+            _quick_recursion(u, pays, 0, n - 1, True,
+                             _get_average(u.dtype.type(0), umax), umax,
+                             threshold)
+        finally:
+            sys.setrecursionlimit(old)
+    keys_out = transforms.from_sortable_np(u, np.asarray(keys).dtype,
+                                           ascending)
+    return (keys_out, *pays)

@@ -107,6 +107,12 @@ def perf_test(methods, num: int, key_dtype, payload_dtypes,
     perf.hpp:418-461; header perf.hpp:435)."""
     rows = []
     for m in methods:
+        # capability-gate like the reference harness (isSupported, test.cpp:80)
+        meth = methods_mod.REGISTRY.get(m)
+        if meth is not None and not meth.supports(
+                np.dtype(key_dtype),
+                tuple(np.dtype(p) for p in payload_dtypes), num):
+            continue
         ns = measure_ns_per_element(m, num, key_dtype, payload_dtypes,
                                     distribution, **kw)
         rows.append((m, f"{ns:.4f}"))

@@ -1,0 +1,69 @@
+"""Quicksort family (ops/quick_sort.py): the pivot-partition primitive and
+the reference-semantics recursion model (quick_sort.hpp parity)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import simd_radix_sort_tpu as srs
+from simd_radix_sort_tpu.ops import quick_sort
+from simd_radix_sort_tpu.utils import data as D
+from simd_radix_sort_tpu.utils import transforms
+
+
+@pytest.mark.parametrize("dtype", [np.uint32, np.int32, np.float32,
+                                   np.uint64, np.int8])
+@pytest.mark.parametrize("ascending", [True, False])
+def test_partition_device(dtype, ascending):
+    keys = D.make_keys(4096, dtype, D.Distribution.UNIFORM, seed=2)
+    (pay,) = D.make_payloads(keys, [np.uint32], "fast")
+    pivot = keys[17]
+    k, (p,), split, kmin, kmax = quick_sort.partition(
+        jnp.asarray(keys), (jnp.asarray(pay),), pivot, ascending=ascending)
+    k, p, split = np.asarray(k), np.asarray(p), int(split)
+
+    u = transforms.to_sortable_np(keys, ascending)
+    up = transforms.to_sortable_np(np.array([pivot], dtype))[0] \
+        if ascending else \
+        transforms.to_sortable_np(np.array([pivot], dtype), False)[0]
+    uk = transforms.to_sortable_np(k, ascending)
+    le = u <= up
+    assert split == int(le.sum())
+    assert np.all(uk[:split] <= up)
+    assert np.all(uk[split:] > up)
+    # stability: left/right sides keep input order (stronger than reference)
+    order = np.argsort(~le, kind="stable")
+    assert np.array_equal(k, keys[order])
+    assert np.array_equal(p, pay[order])
+    # min/max are the true extremes in the requested order
+    assert np.asarray(kmin) == k[np.argmin(uk)]
+    assert np.asarray(kmax) == k[np.argmax(uk)]
+
+
+@pytest.mark.parametrize("dtype", [np.int32, np.float32, np.uint64])
+@pytest.mark.parametrize("dist", [D.Distribution.UNIFORM, D.Distribution.ZERO,
+                                  D.Distribution.ZERO_ONE,
+                                  D.Distribution.SORTED,
+                                  D.Distribution.REVERSE_SORTED])
+def test_quick_method_matrix(dtype, dist):
+    """The constant-range pruning must kill the O(n^2) constant-input
+    pathology (quick_sort.hpp:321-330), so Zero/ZeroOne run fast here."""
+    keys = D.make_keys(20_000, dtype, dist, seed=4)
+    (pay,) = D.make_payloads(keys, [np.uint64], "fast")
+    k, p = srs.sort(keys, pay, method="quick")
+    assert D.check_data(np.asarray(k), (np.asarray(p),), keys) == ""
+
+
+def test_quick_descending_with_payload():
+    keys = D.make_keys(5_000, np.int16, D.Distribution.GAUSSIAN, seed=6)
+    (pay,) = D.make_payloads(keys, [np.uint8], "fast")
+    k, p = srs.sort(keys, pay, ascending=False, method="quick")
+    assert D.check_data(np.asarray(k), (np.asarray(p),), keys,
+                        ascending=False) == ""
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 15, 16, 17])
+def test_quick_tiny(n):
+    keys = D.make_keys(n, np.uint8, D.Distribution.UNIFORM, seed=8)
+    out = srs.sort(keys, method="quick")
+    assert np.array_equal(np.asarray(out), np.sort(keys))
