@@ -84,9 +84,28 @@ def _apply_perm(dest: jax.Array, streams):
 
 
 def sort_arrays(keys: jax.Array, payloads, ascending: bool = True,
-                stable: bool = True, digit_bits: int = 8,
-                block: int = DEFAULT_BLOCK, key_dtype=None):
-    """Radix sort keys + lock-step payload streams.  Jittable."""
+                stable: bool = True, digit_bits: int | None = None,
+                block: int = DEFAULT_BLOCK, key_dtype=None,
+                engine: str = "sort"):
+    """LSD radix sort of keys + lock-step payload streams.  Jittable.
+
+    Two per-pass movers:
+      * engine="sort" (default): each digit pass is one stable variadic
+        lax.sort keyed on the digit — the only stable bulk mover that runs
+        at reasonable bandwidth on TPU (random-access scatter measured
+        ~100 Melem/s vs >500 for the vectorized sorts).  16-bit digits by
+        default: pass cost is digit-width independent, so fewer passes win.
+      * engine="scatter": the histogram -> exclusive scan -> stable rank ->
+        scatter formulation below — the direct semantic model of a radix
+        pass (and of the reference's partition pass), kept as the
+        reference implementation and for differential testing.
+    """
+    if engine == "sort":
+        return _sort_arrays_sortpass(keys, payloads, ascending,
+                                     digit_bits or 16, key_dtype)
+    if engine != "scatter":
+        raise ValueError(f"unknown radix engine {engine!r}")
+    digit_bits = digit_bits or 8
     n = keys.shape[0]
     kops = list(transforms.key_operands(keys, ascending, key_dtype))
     word_bits = kops[0].dtype.itemsize * 8
@@ -113,6 +132,23 @@ def sort_arrays(keys: jax.Array, payloads, ascending: bool = True,
             is_pad, unique_indices=True)
 
     streams = [s[:n] for s in streams]
+    keys_out = transforms.keys_from_operands(
+        tuple(streams[: len(kops)]), key_dtype or keys.dtype, ascending,
+        as_bits=key_dtype is not None)
+    return keys_out, tuple(streams[len(kops):])
+
+
+def _sort_arrays_sortpass(keys, payloads, ascending, digit_bits, key_dtype):
+    """LSD digit passes with a stable variadic sort as the per-pass mover."""
+    kops = list(transforms.key_operands(keys, ascending, key_dtype))
+    word_bits = kops[0].dtype.itemsize * 8
+    digit_bits = min(digit_bits, word_bits)
+    streams = kops + list(payloads)
+    mask = kops[0].dtype.type((1 << digit_bits) - 1)
+    for word_idx, shift in _digit_passes(len(kops), word_bits, digit_bits):
+        d = (streams[word_idx] >> kops[0].dtype.type(shift)) & mask
+        out = jax.lax.sort((d,) + tuple(streams), num_keys=1, is_stable=True)
+        streams = list(out[1:])
     keys_out = transforms.keys_from_operands(
         tuple(streams[: len(kops)]), key_dtype or keys.dtype, ascending,
         as_bits=key_dtype is not None)

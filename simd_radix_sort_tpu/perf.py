@@ -127,6 +127,10 @@ def perf_test_num(methods, key_dtype, payload_dtypes,
                   max_num: int = 1 << 22, **kw) -> str:
     """n-scaling sweep, n = 1, 2, 4 ... max_num (PerfTest::perfTestNum,
     perf.hpp:368-416; header perf.hpp:383-385)."""
+    methods = [m for m in methods
+               if methods_mod.REGISTRY[m].supports(
+                   np.dtype(key_dtype),
+                   tuple(np.dtype(p) for p in payload_dtypes), None)]
     rows = []
     n = 1
     while n <= max_num:
