@@ -24,7 +24,9 @@ sys.path.insert(0, ".")
 from simd_radix_sort_tpu import perf  # noqa: E402
 from simd_radix_sort_tpu.utils import data as D  # noqa: E402
 
-METHODS = ["xla", "radix", "count"]  # device methods (seq is a host baseline)
+# device engines + host baselines (seq/torch play the STLSort/IPP role,
+# sort_methods.hpp:246-347)
+METHODS = ["xla", "radix", "count", "seq", "torch"]
 
 TYPE_COMBOS = [
     (np.int32, ()),
@@ -65,6 +67,11 @@ def main():
 
     # tuning-knob sweep (threshold-sweep equivalent)
     path = perf.perf_test_block(args.n, np.int32, (np.int32,))
+    print("wrote", path, flush=True)
+
+    # pairwise speedup across payload-size factors (perfTestSpeedupAllKP)
+    path = perf.perf_test_speedup("xla", "radix", args.n,
+                                  reps=None if args.full else 3, warmups=1)
     print("wrote", path, flush=True)
 
 

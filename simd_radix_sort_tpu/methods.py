@@ -116,8 +116,23 @@ register(SortMethod("xla", _run_xla, _supports_all))
 register(SortMethod("radix", _run_radix, _supports_all, has_threshold=True))
 register(SortMethod("rank", _run_rank, _rank_supports))
 register(SortMethod("count", _run_count, _count_supports))
+def _run_torch(keys, payloads, *, ascending=True, stable=False,
+               block_threshold=None, key_dtype=None):
+    from .ops import torch_baseline
+    keys = np.asarray(keys)
+    if key_dtype is not None:
+        keys = keys.view(np.dtype(key_dtype))
+    out = torch_baseline.sort_np(keys, *[np.asarray(p) for p in payloads],
+                                 ascending=ascending)
+    keys_out = out[0]
+    if key_dtype is not None:
+        keys_out = keys_out.view(np.uint64)
+    return jnp.asarray(keys_out), tuple(jnp.asarray(p) for p in out[1:])
+
+
 register(SortMethod("quick", _run_quick, _supports_all, has_threshold=True,
                     device=False))
+register(SortMethod("torch", _run_torch, _supports_all, device=False))
 register(SortMethod("seq", _run_seq, _supports_all, device=False))
 
 

@@ -146,16 +146,16 @@ def perf_test_num(methods, key_dtype, payload_dtypes,
 
 
 def perf_test_block(num: int, key_dtype, payload_dtypes,
-                    blocks=(256, 512, 1024, 2048, 4096, 8192),
+                    digits=(4, 8, 16, 32),
                     distribution=D.Distribution.UNIFORM,
                     seed: int = 1) -> str:
-    """Tuning-knob sweep: radix histogram/rank block size — the engine's
-    analogue of the reference's cmpSortThreshold sweep (perfTestThresh,
-    perf.hpp:159-212)."""
+    """Tuning-knob sweep: radix digit width — the engine's analogue of the
+    reference's cmpSortThreshold sweep (perfTestThresh, perf.hpp:159-212):
+    the knob that trades pass count against per-pass cost."""
     from .ops import radix
     rows = []
-    for b in blocks:
-        fn = jax.jit(lambda k, ps, b=b: radix.sort_arrays(k, ps, block=b))
+    for b in digits:
+        fn = jax.jit(lambda k, ps, b=b: radix.sort_arrays(k, ps, digit_bits=b))
         keys = D.make_keys(num, key_dtype, distribution, seed)
         pays = tuple(jnp.asarray(p) for p in
                      D.make_payloads(keys, payload_dtypes, "fast"))
@@ -168,7 +168,45 @@ def perf_test_block(num: int, key_dtype, payload_dtypes,
             _sync([out[0]])
         ns = (time.perf_counter() - t0) / reps / max(num, 1) * 1e9
         rows.append((b, f"{ns:.4f}"))
-    name = "block-" + "-".join([common.type_name(key_dtype)]
-                               + [common.type_name(p) for p in payload_dtypes]
-                               + [distribution.value, str(num)]) + ".dat"
-    return _write_dat(name, "blockSize nanoseconds_per_element", rows)
+    name = "digits-" + "-".join([common.type_name(key_dtype)]
+                                + [common.type_name(p) for p in payload_dtypes]
+                                + [distribution.value, str(num)]) + ".dat"
+    return _write_dat(name, "digitBits nanoseconds_per_element", rows)
+
+
+def _payload_combo_for_factor(key_dtype, factor: int):
+    """Payload streams totalling factor * sizeof(key) bytes, mirroring the
+    reference's payload-size-factor studies (perfTestSpeedupAllKP,
+    perf.hpp:214-362)."""
+    size = np.dtype(key_dtype).itemsize * factor
+    out = []
+    while size >= 8:
+        out.append(np.uint64)
+        size -= 8
+    for dt, b in ((np.uint32, 4), (np.uint16, 2), (np.uint8, 1)):
+        while size >= b:
+            out.append(dt)
+            size -= b
+    return tuple(out)
+
+
+def perf_test_speedup(method_a: str, method_b: str, num: int,
+                      key_dtypes=(np.uint32, np.int32, np.float32),
+                      factors=(1, 2, 4, 8),
+                      distribution=D.Distribution.UNIFORM, **kw) -> str:
+    """Pairwise speedup table of method_a over method_b across key types
+    and payload-size factors (perfTestSpeedup[AllKP/All],
+    perf.hpp:214-362)."""
+    rows = []
+    for k in key_dtypes:
+        row = [common.type_name(k)]
+        for f in factors:
+            ps = _payload_combo_for_factor(k, f)
+            a = measure_ns_per_element(method_a, num, k, ps, distribution, **kw)
+            b = measure_ns_per_element(method_b, num, k, ps, distribution, **kw)
+            row.append(f"{b / a:.4f}")
+        rows.append(row)
+    name = (f"speedup-{method_a}-vs-{method_b}-{distribution.value}-{num}"
+            ".dat")
+    header = "key_type " + " ".join(f"factor{f}" for f in factors)
+    return _write_dat(name, header, rows)
