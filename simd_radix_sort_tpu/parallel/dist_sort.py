@@ -21,10 +21,11 @@ length matrix).  Receive buffers have a static capacity (the XLA
 static-shape idiom); an overflow flag reports when sampling error or key
 skew exceeded it so the caller can rerun with a larger factor.  XLA:CPU has
 no ragged-all-to-all thunk, so a dense all_gather emulation backs the
-virtual-mesh test path.  Keys <= 32 bits are tie-broken with a
-device-interleaved position (packed into the u64 sample/search domain),
-which keeps duplicate-heavy distributions (Zero, ZeroOne) and pre-sorted
-inputs perfectly balanced.
+virtual-mesh test path.  Keys are tie-broken exactly with a
+device-interleaved position — packed into a u64 sample/search domain for
+<= 32-bit keys, carried as a third u32 word with lexicographic splitter
+ranking for 64-bit keys — which keeps duplicate-heavy distributions
+(Zero, ZeroOne) and pre-sorted inputs perfectly balanced.
 
 Output stays sharded: (keys, payloads) padded per device + per-device valid
 counts — concatenating each device's valid prefix in mesh order is the
@@ -59,9 +60,9 @@ def _sortable_with_tiebreak(u: jax.Array, axis_index, n_local: int,
     interleaved position when it fits.  <=32-bit keys widen to u64 as
     (key << 32) | (i * P + dev): the interleaving spreads equal keys evenly
     across ALL buckets, so duplicate-heavy inputs stay load-balanced (the
-    skew-repartition requirement of the north star).  64-bit keys are used
-    as-is (ties may then skew buckets — capacity_factor covers sampling
-    error; exact two-word tie-break is a planned upgrade)."""
+    skew-repartition requirement of the north star).  64-bit keys never
+    reach this helper: they carry the position as a third u32 word in the
+    lexicographic domain built in local_fn."""
     if u.dtype.itemsize * 8 + 32 <= 64:
         pos = (jnp.arange(n_local, dtype=jnp.uint64) * jnp.uint64(num_p)
                + axis_index.astype(jnp.uint64))
@@ -138,20 +139,40 @@ def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
                                   num_keys=len(kops), is_stable=False)
         kops_s = sorted_ops[: len(kops)]
         pays_s = sorted_ops[len(kops):]
-        u = kops_s[0] if len(kops) == 1 else transforms.merge64(*kops_s)
-        uw = _sortable_with_tiebreak(u, my, n_local, num_p)
+        # sample/search domain, exactly tie-broken by a device-interleaved
+        # post-sort position so duplicate-heavy inputs stay balanced:
+        #   <=32-bit keys: one u64 word, (key << 32) | pos  (fast path)
+        #   64-bit keys:   (hi, lo, pos) u32 words, lexicographic
+        # (pos fits 32 bits for global n < 2^32; positions are increasing
+        # within equal keys by construction, so the domain is sorted)
+        if len(kops) == 1:
+            domain = (_sortable_with_tiebreak(kops_s[0], my, n_local, num_p),)
+        else:
+            pos = (jnp.arange(n_local, dtype=jnp.uint32)
+                   * jnp.uint32(num_p) + my.astype(jnp.uint32))
+            domain = (kops_s[0], kops_s[1], pos)
 
         # 2. splitters from gathered samples
         idx = ((jnp.arange(s_per_dev, dtype=jnp.float32) + 0.5)
                * (n_local / s_per_dev)).astype(jnp.int32)
-        samples = jnp.take(uw, idx)
-        all_samples = jax.lax.all_gather(samples, axis)  # (P, S)
-        flat = jax.lax.sort(all_samples.reshape(-1))
+        all_samples = [jax.lax.all_gather(jnp.take(w, idx), axis).reshape(-1)
+                       for w in domain]  # each (P*S,)
+        flat = jax.lax.sort(tuple(all_samples), num_keys=len(domain))
+        flat = flat if isinstance(flat, (tuple, list)) else (flat,)
         spl_idx = (jnp.arange(1, num_p, dtype=jnp.int32) * s_per_dev)
-        splitters = jnp.take(flat, spl_idx)  # (P-1,)
+        splitters = [jnp.take(w, spl_idx) for w in flat]  # words of (P-1,)
 
         # 3. bucket boundaries in my sorted shard (bucket p = rows for dev p)
-        bounds = jnp.searchsorted(uw, splitters, side="left").astype(jnp.int32)
+        if len(domain) == 1:
+            bounds = jnp.searchsorted(domain[0], splitters[0],
+                                      side="left").astype(jnp.int32)
+        else:
+            # lexicographic rank of each splitter = count of rows below it
+            h, l, q = (w[:, None] for w in domain)
+            sh, sl, sq = (w[None, :] for w in splitters)
+            less = ((h < sh) | ((h == sh) & ((l < sl) | ((l == sl)
+                    & (q < sq)))))
+            bounds = jnp.sum(less, axis=0, dtype=jnp.int32)
         starts = jnp.concatenate([jnp.zeros(1, jnp.int32), bounds])
         ends = jnp.concatenate([bounds, jnp.full((1,), n_local, jnp.int32)])
         lens = ends - starts  # send_sizes (P,)

@@ -68,3 +68,15 @@ def test_overflow_flag():
     out_k, out_p, counts, overflow, meta = dist_sort.distributed_sort(
         keys, mesh=mesh, capacity_factor=0.25)
     assert bool(np.asarray(overflow).any())
+
+
+@pytest.mark.parametrize("dist", [D.Distribution.ZERO, D.Distribution.ZERO_ONE])
+def test_u64_duplicates_balanced(dist):
+    """64-bit keys with massive duplication must stay load-balanced via the
+    exact (hi, lo, pos) lexicographic tie-break — no overflow at a modest
+    capacity factor."""
+    _run(np.uint64, (np.uint64,), dist, 8 * 1024, capacity_factor=1.5)
+
+
+def test_i64_sorted_input_balanced():
+    _run(np.int64, (), D.Distribution.SORTED, 8 * 1024, capacity_factor=1.5)
