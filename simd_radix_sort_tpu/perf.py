@@ -49,36 +49,55 @@ def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
                            warmups: int | None = None) -> float:
     """ns per element for one (method, workload) cell, reference protocol."""
     m = methods_mod.resolve(method, key_dtype, payload_dtypes, num)
-    reps = reps if reps is not None else max(1, REPS_NUMERATOR // max(num, 1))
+    # capped: past a few hundred reps the mean is stable and each rep is a
+    # dispatch, not a CPU call like the reference's
+    reps = reps if reps is not None else min(
+        512, max(1, REPS_NUMERATOR // max(num, 1)))
     warmups = (warmups if warmups is not None
-               else max(1, WARMUP_NUMERATOR // max(num, 1)))
+               else max(1, min(64, WARMUP_NUMERATOR // max(num, 1))))
     # jit once per shape/dtype combo; data refreshed per rep like the
-    # reference's fresh clone per measurement (perf.hpp:70-80)
-    fn = jax.jit(lambda k, ps: m.run(k, ps, ascending=ascending, stable=False,
-                                     block_threshold=None, key_dtype=None))
+    # reference's fresh clone per measurement (perf.hpp:70-80).  Host
+    # baselines (seq/quick/torch) run unjitted on host arrays — like the
+    # reference's STLSort rows, they are not charged device transfers.
+    run = lambda k, ps: m.run(k, ps, ascending=ascending, stable=False,
+                              block_threshold=None, key_dtype=None)
+    fn = jax.jit(run) if m.device else run
 
     def fresh(i):
         keys = D.make_keys(num, key_dtype, distribution, seed + i)
         pays = D.make_payloads(keys, payload_dtypes, "fast")
+        if not m.device:
+            return keys, tuple(pays)
         return keys, tuple(jnp.asarray(p) for p in pays)
 
+    if not m.device:  # python-loop baselines: a few reps suffice
+        reps = min(reps, 3)
+        warmups = min(warmups, 1)
     datasets = [fresh(i) for i in range(min(reps, 8))]
     for w in range(warmups):
         k, ps = datasets[w % len(datasets)]
-        out = fn(jnp.asarray(k), ps)
+        out = fn(jnp.asarray(k) if m.device else k, ps)
         _sync([out[0]])
 
-    total = 0.0
-    last = None
+    # Pre-stage every dataset on device, then time the whole rep loop with
+    # ONE final fence.  Syncing per rep would charge each measurement a
+    # full host<->device round trip (tens of ms through the axon tunnel,
+    # dwarfing a sub-ms sort at the reference's n=2^18); the device
+    # executes dispatches in order, so the final fence covers all reps —
+    # the standard accelerator timing protocol replacing the reference's
+    # per-call CPU clock (perf.hpp:33-47).
+    staged = [(jnp.asarray(k) if m.device else k, ps) for k, ps in datasets]
+    if m.device:
+        _sync([kd for kd, _ in staged])
+    outs = []
+    t0 = time.perf_counter()
     for r in range(reps):
-        keys, pays = datasets[r % len(datasets)]
-        kd = jnp.asarray(keys)
-        _sync([kd] + list(pays))
-        t0 = time.perf_counter()
-        out = fn(kd, pays)
-        _sync([out[0]])
-        total += time.perf_counter() - t0
-        last = (keys, out)
+        kd, pays = staged[r % len(staged)]
+        outs.append(fn(kd, pays))
+    if m.device:
+        _sync([outs[-1][0]])
+    total = time.perf_counter() - t0
+    last = (datasets[(reps - 1) % len(datasets)][0], outs[-1])
     if validate and num and last is not None:
         keys, out = last
         ko = np.asarray(out[0])
@@ -159,13 +178,14 @@ def perf_test_block(num: int, key_dtype, payload_dtypes,
         keys = D.make_keys(num, key_dtype, distribution, seed)
         pays = tuple(jnp.asarray(p) for p in
                      D.make_payloads(keys, payload_dtypes, "fast"))
-        out = fn(jnp.asarray(keys), pays)
+        kd = jnp.asarray(keys)
+        out = fn(kd, pays)
         _sync([out[0]])
-        reps = max(1, REPS_NUMERATOR // max(num, 1))
+        reps = min(512, max(1, REPS_NUMERATOR // max(num, 1)))
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = fn(jnp.asarray(keys), pays)
-            _sync([out[0]])
+            out = fn(kd, pays)
+        _sync([out[0]])
         ns = (time.perf_counter() - t0) / reps / max(num, 1) * 1e9
         rows.append((b, f"{ns:.4f}"))
     name = "digits-" + "-".join([common.type_name(key_dtype)]
