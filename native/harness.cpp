@@ -14,15 +14,77 @@
 // Exposed as a plain C ABI consumed via ctypes (utils/native.py).
 
 #include <algorithm>
+#include <atomic>
 #include <bit>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <random>
+#include <thread>
 #include <vector>
 
 namespace {
+
+// ---------------------------------------------------------------------------
+// Threading: the reference is strictly single-threaded (its thesis lists
+// multithreading as future work); this runtime is not.  Oracles and bulk
+// transforms fan out over hardware threads; generation stays single-stream
+// where bit-exactness to the reference protocol requires one RNG sequence.
+// ---------------------------------------------------------------------------
+
+int num_threads() {
+  unsigned h = std::thread::hardware_concurrency();
+  return h ? static_cast<int>(h) : 4;
+}
+
+template <typename F>
+void parallel_for(int64_t n, F f) {  // f(begin, end), disjoint ranges
+  const int t = num_threads();
+  if (n < (int64_t{1} << 16) || t <= 1) {
+    if (n > 0) f(int64_t{0}, n);
+    return;
+  }
+  const int64_t chunk = (n + t - 1) / t;
+  std::vector<std::thread> ths;
+  for (int i = 0; i < t; i++) {
+    const int64_t b = i * chunk, e = std::min<int64_t>(n, b + chunk);
+    if (b >= e) break;
+    ths.emplace_back([=] { f(b, e); });
+  }
+  for (auto &th : ths) th.join();
+}
+
+// Thread-safe replica of glibc rand() (TYPE_3 additive feedback, deg=31
+// sep=3, random_r.c semantics) so the payload oracle can run one generator
+// per row across threads instead of serializing on the global srand state.
+// Matches utils/cpp_rng.py (itself validated against glibc).
+struct GlibcRand {
+  uint32_t st[31];
+  int f = 3, r = 0;
+
+  explicit GlibcRand(uint32_t seed) {
+    const uint32_t s = seed ? seed : 1u;
+    int64_t word = static_cast<int32_t>(s);
+    st[0] = static_cast<uint32_t>(word);
+    for (int i = 1; i < 31; i++) {
+      const int64_t hi = word / 127773;  // C truncating division
+      const int64_t lo = word - hi * 127773;
+      word = 16807 * lo - 2836 * hi;
+      if (word < 0) word += 2147483647;
+      st[i] = static_cast<uint32_t>(word);
+    }
+    for (int k = 0; k < 310; k++) next();  // glibc's 10*deg warm-up discards
+  }
+
+  int32_t next() {
+    const uint32_t val = st[f] + st[r];
+    st[f] = val;
+    f = (f + 1) % 31;
+    r = (r + 1) % 31;
+    return static_cast<int32_t>((val >> 1) & 0x7FFFFFFFu);
+  }
+};
 
 // Type ids follow simd_radix_sort_tpu.utils.common.KEY_DTYPES order.
 enum TypeId {
@@ -111,14 +173,18 @@ void make_keys_t(int dist_id, int64_t n, int64_t seed, K *keys) {
 
 template <typename K>
 bool is_sorted_t(const K *keys, int64_t n, int up) {
-  if (up) {
-    for (int64_t i = 1; i < n; i++)
-      if (keys[i - 1] > keys[i]) return false;
-  } else {
-    for (int64_t i = 1; i < n; i++)
-      if (keys[i - 1] < keys[i]) return false;
-  }
-  return true;
+  std::atomic<bool> ok{true};
+  parallel_for(n, [&](int64_t b, int64_t e) {
+    const int64_t lo = std::max<int64_t>(b, 1);
+    if (up) {
+      for (int64_t i = lo; i < e; i++)
+        if (keys[i - 1] > keys[i]) { ok.store(false); return; }
+    } else {
+      for (int64_t i = lo; i < e; i++)
+        if (keys[i - 1] < keys[i]) { ok.store(false); return; }
+    }
+  });
+  return ok.load();
 }
 
 unsigned key_seed(const void *key, int key_size) {
@@ -165,11 +231,13 @@ int srs_make_keys(int type_id, int64_t n, int dist_id, int64_t seed,
 int srs_make_payload_bytes(int key_size, const void *keys, int64_t n,
                            int32_t total_bytes, uint8_t *out) {
   const uint8_t *kb = (const uint8_t *)keys;
-  for (int64_t i = 0; i < n; i++) {
-    srand(key_seed(kb + i * key_size, key_size));
-    uint8_t *row = out + i * total_bytes;
-    for (int32_t b = 0; b < total_bytes; b++) row[b] = (uint8_t)rand();
-  }
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      GlibcRand g(key_seed(kb + i * key_size, key_size));
+      uint8_t *row = out + i * total_bytes;
+      for (int32_t b = 0; b < total_bytes; b++) row[b] = (uint8_t)g.next();
+    }
+  });
   return 0;
 }
 
@@ -178,14 +246,23 @@ int srs_make_payload_bytes(int key_size, const void *keys, int64_t n,
 int64_t srs_check_payload_bytes(int key_size, const void *keys, int64_t n,
                                 int32_t total_bytes, const uint8_t *packed) {
   const uint8_t *kb = (const uint8_t *)keys;
-  std::vector<uint8_t> row(total_bytes);
-  for (int64_t i = 0; i < n; i++) {
-    srand(key_seed(kb + i * key_size, key_size));
-    for (int32_t b = 0; b < total_bytes; b++) row[b] = (uint8_t)rand();
-    if (std::memcmp(row.data(), packed + i * total_bytes, total_bytes) != 0)
-      return i;
-  }
-  return -1;
+  std::atomic<int64_t> bad{-1};
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    std::vector<uint8_t> row(total_bytes);
+    for (int64_t i = lo; i < hi; i++) {
+      GlibcRand g(key_seed(kb + i * key_size, key_size));
+      for (int32_t b = 0; b < total_bytes; b++) row[b] = (uint8_t)g.next();
+      if (std::memcmp(row.data(), packed + i * total_bytes,
+                      total_bytes) != 0) {
+        int64_t cur = bad.load();  // keep the smallest failing index
+        while ((cur == -1 || i < cur) &&
+               !bad.compare_exchange_weak(cur, i)) {
+        }
+        return;
+      }
+    }
+  });
+  return bad.load();
 }
 
 // isSorted (data.hpp:195-220): numeric comparison order per key type.
@@ -225,6 +302,45 @@ int srs_same_multiset(int type_id, const void *a, const void *b, int64_t n) {
     case 8: return cmp(uint64_t{});
     default: return -1;
   }
+}
+
+// SoA -> AoS: interleave a key column and payload columns into packed rows
+// (convertToSingleArray, data.hpp:332-346), threaded.  `cols` = key pointer
+// followed by payload pointers; `sizes` their element sizes; row stride =
+// sum of sizes (callers pad to a power of two like DataElement when
+// required).
+int srs_pack_rows(int ncols, const void **cols, const int32_t *sizes,
+                  int64_t n, uint8_t *out) {
+  int32_t stride = 0;
+  for (int c = 0; c < ncols; c++) stride += sizes[c];
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      uint8_t *row = out + i * stride;
+      for (int c = 0; c < ncols; c++) {
+        std::memcpy(row, (const uint8_t *)cols[c] + i * sizes[c], sizes[c]);
+        row += sizes[c];
+      }
+    }
+  });
+  return stride;
+}
+
+// AoS -> SoA: split packed rows back into columns (setFromSingleArray,
+// data.hpp:348-361), threaded.
+int srs_unpack_rows(int ncols, void **cols, const int32_t *sizes, int64_t n,
+                    const uint8_t *packed) {
+  int32_t stride = 0;
+  for (int c = 0; c < ncols; c++) stride += sizes[c];
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      const uint8_t *row = packed + i * stride;
+      for (int c = 0; c < ncols; c++) {
+        std::memcpy((uint8_t *)cols[c] + i * sizes[c], row, sizes[c]);
+        row += sizes[c];
+      }
+    }
+  });
+  return stride;
 }
 
 }  // extern "C"

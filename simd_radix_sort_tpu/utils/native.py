@@ -56,6 +56,14 @@ def lib() -> ctypes.CDLL:
         L.srs_same_multiset.restype = ctypes.c_int
         L.srs_same_multiset.argtypes = [ctypes.c_int, ctypes.c_void_p,
                                         ctypes.c_void_p, ctypes.c_int64]
+        L.srs_pack_rows.restype = ctypes.c_int
+        L.srs_pack_rows.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_void_p]
+        L.srs_unpack_rows.restype = ctypes.c_int
+        L.srs_unpack_rows.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_void_p]
         _lib = L
     return _lib
 
@@ -132,3 +140,40 @@ def same_multiset(a: np.ndarray, b: np.ndarray) -> bool:
     assert a.dtype == b.dtype and a.shape == b.shape
     return bool(lib().srs_same_multiset(_TYPE_IDS[np.dtype(a.dtype)],
                                         _ptr(a), _ptr(b), len(a)))
+
+
+def _col_ptrs(cols):
+    arr = (ctypes.c_void_p * len(cols))(*[c.ctypes.data for c in cols])
+    sizes = (ctypes.c_int32 * len(cols))(*[c.dtype.itemsize for c in cols])
+    return arr, sizes
+
+
+def pack_rows(keys: np.ndarray, payloads=()) -> np.ndarray:
+    """SoA -> AoS packed rows (convertToSingleArray, data.hpp:332-346),
+    threaded native memcpy.  Row stride = sum of element sizes (callers pad
+    like DataElement when a power-of-two stride is required)."""
+    cols = [np.ascontiguousarray(keys)] + [np.ascontiguousarray(p)
+                                           for p in payloads]
+    n = len(cols[0])
+    stride = sum(c.dtype.itemsize for c in cols)
+    out = np.empty(n * stride, dtype=np.uint8)
+    ptrs, sizes = _col_ptrs(cols)
+    got = lib().srs_pack_rows(len(cols), ptrs, sizes, n,
+                              out.ctypes.data)
+    assert got == stride
+    return out.reshape(n, stride)
+
+
+def unpack_rows(packed: np.ndarray, key_dtype, payload_dtypes=()):
+    """AoS -> SoA (setFromSingleArray, data.hpp:348-361), threaded."""
+    packed = np.ascontiguousarray(packed)
+    n = packed.shape[0]
+    cols = [np.empty(n, dtype=np.dtype(key_dtype))] + \
+        [np.empty(n, dtype=np.dtype(d)) for d in payload_dtypes]
+    stride = sum(c.dtype.itemsize for c in cols)
+    assert packed.shape == (n, stride), (packed.shape, stride)
+    ptrs, sizes = _col_ptrs(cols)
+    got = lib().srs_unpack_rows(len(cols), ptrs, sizes, n,
+                                packed.ctypes.data)
+    assert got == stride
+    return cols[0], tuple(cols[1:])

@@ -87,3 +87,31 @@ def test_end_to_end_native_dataset_through_sort():
     assert native.is_sorted(k)
     assert native.same_multiset(k, keys)
     assert native.check_payloads(k, (np.asarray(p),)) == -1
+
+
+def test_native_pack_unpack_roundtrip():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(12)
+    keys = rng.integers(0, 2**32, 10_000, dtype=np.uint32)
+    pa = rng.integers(0, 2**16, 10_000, dtype=np.uint16)
+    pb = rng.random(10_000, dtype=np.float32).astype(np.float32)
+    packed = native.pack_rows(keys, (pa, pb))
+    assert packed.shape == (10_000, 4 + 2 + 4)
+    k2, (a2, b2) = native.unpack_rows(packed, np.uint32,
+                                      [np.uint16, np.float32])
+    assert np.array_equal(k2, keys)
+    assert np.array_equal(a2, pa)
+    assert np.array_equal(b2, pb)
+
+
+def test_native_pack_matches_python_pack():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    import simd_radix_sort_tpu as srs
+    rng = np.random.default_rng(13)
+    keys = rng.integers(0, 2**16, 1000, dtype=np.uint16)
+    pa = rng.integers(0, 2**16, 1000, dtype=np.uint16)
+    native_packed = native.pack_rows(keys, (pa,))
+    py_packed = np.asarray(srs.pack_rows(keys, (pa,)))
+    assert np.array_equal(native_packed, py_packed)
