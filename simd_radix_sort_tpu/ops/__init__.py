@@ -1,1 +1,9 @@
-from . import radix, rank_sort, sort, xla_sort  # noqa: F401
+from . import (  # noqa: F401
+    counting,
+    quick_sort,
+    radix,
+    rank_sort,
+    sort,
+    xla_sort,
+)
+from .quick_sort import partition  # noqa: F401
