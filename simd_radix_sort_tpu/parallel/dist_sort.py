@@ -247,10 +247,17 @@ def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
 def distributed_sort(keys, *payloads, mesh: Mesh | None = None,
                      axis: str = DEFAULT_AXIS, ascending: bool = True,
                      capacity_factor: float = 2.0,
-                     samples_per_device: int = 256):
+                     samples_per_device: int = 256,
+                     max_retries: int = 2):
     """Host-friendly entry: takes numpy/jax arrays, shards them over the
     mesh, runs the distributed sort, returns
-    (padded_keys, payloads, counts, overflow) as device arrays."""
+    (padded_keys, payloads, counts, overflow) as device arrays.
+
+    Elastic recovery (SURVEY.md section 5): when sampling error or extreme
+    skew overflows the static receive capacity, the sort reruns with the
+    capacity factor doubled, up to `max_retries` times — the caller only
+    sees an overflow flag if even the widest attempt could not hold the
+    buckets."""
     if mesh is None:
         mesh = make_mesh()
     lossy_f64 = jax.default_backend() != "cpu"
@@ -269,11 +276,21 @@ def distributed_sort(keys, *payloads, mesh: Mesh | None = None,
     sharding = NamedSharding(mesh, P(axis))
     keys_d = jax.device_put(jnp.asarray(keys), sharding)
     pays_d = tuple(jax.device_put(jnp.asarray(p), sharding) for p in payloads)
-    fn = jax.jit(functools.partial(
-        distributed_sort_sharded, mesh=mesh, axis=axis, ascending=ascending,
-        capacity_factor=capacity_factor,
-        samples_per_device=samples_per_device, key_dtype=key_dtype))
-    out_keys, out_pays, counts, overflow = fn(keys_d, pays_d)
+    num_p = mesh.shape[axis]
+    cap = capacity_factor
+    for attempt in range(max_retries + 1):
+        fn = jax.jit(functools.partial(
+            distributed_sort_sharded, mesh=mesh, axis=axis,
+            ascending=ascending, capacity_factor=cap,
+            samples_per_device=samples_per_device, key_dtype=key_dtype))
+        out_keys, out_pays, counts, overflow = fn(keys_d, pays_d)
+        if not bool(np.asarray(overflow).any()):
+            break
+        # a factor of P always fits everything on one device; past that
+        # retrying cannot help
+        if attempt == max_retries or cap >= num_p:
+            break
+        cap = min(cap * 2.0, float(num_p))
     return out_keys, out_pays, counts, overflow, meta
 
 

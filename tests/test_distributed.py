@@ -62,12 +62,25 @@ def test_distributed_two_devices():
 
 
 def test_overflow_flag():
-    """With capacity far below need, overflow must be reported."""
+    """With capacity far below need and retries disabled, overflow must be
+    reported."""
     mesh = dist_sort.make_mesh(8)
-    keys = np.zeros(8 * 1024, dtype=np.uint64)  # u64: no tie-break packing
+    keys = np.zeros(8 * 1024, dtype=np.uint64)
     out_k, out_p, counts, overflow, meta = dist_sort.distributed_sort(
-        keys, mesh=mesh, capacity_factor=0.25)
+        keys, mesh=mesh, capacity_factor=0.25, max_retries=0)
     assert bool(np.asarray(overflow).any())
+
+
+def test_overflow_elastic_retry():
+    """The same undersized capacity succeeds when retries may widen it."""
+    mesh = dist_sort.make_mesh(8)
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 2**32, 8 * 1024, dtype=np.uint32)
+    out_k, out_p, counts, overflow, meta = dist_sort.distributed_sort(
+        keys, mesh=mesh, capacity_factor=0.25, max_retries=3)
+    assert not bool(np.asarray(overflow).any())
+    got, _ = dist_sort.gather_result(out_k, out_p, counts, meta)
+    assert np.array_equal(got, np.sort(keys))
 
 
 @pytest.mark.parametrize("dist", [D.Distribution.ZERO, D.Distribution.ZERO_ONE])
