@@ -59,8 +59,17 @@ def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
     # reference's fresh clone per measurement (perf.hpp:70-80).  Host
     # baselines (seq/quick/torch) run unjitted on host arrays — like the
     # reference's STLSort rows, they are not charged device transfers.
-    run = lambda k, ps: m.run(k, ps, ascending=ascending, stable=False,
-                              block_threshold=None, key_dtype=None)
+    #
+    # float64 never lives on a TPU device (the X64 rewriter cannot lower
+    # f64 bitcasts and device f64 storage is lossy): f64 keys/payloads
+    # cross as u64 bits, exactly like the public sort() front-end.
+    f64_bits = m.device and jax.default_backend() != "cpu"
+    key_is_f64 = f64_bits and np.dtype(key_dtype) == np.float64
+    pay_is_f64 = [f64_bits and np.dtype(p) == np.float64
+                  for p in payload_dtypes]
+    run = lambda k, ps: m.run(
+        k, ps, ascending=ascending, stable=False, block_threshold=None,
+        key_dtype=np.float64 if key_is_f64 else None)
     fn = jax.jit(run) if m.device else run
 
     def fresh(i):
@@ -68,15 +77,22 @@ def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
         pays = D.make_payloads(keys, payload_dtypes, "fast")
         if not m.device:
             return keys, tuple(pays)
+        pays = [p.view(np.uint64) if f64 else p
+                for p, f64 in zip(pays, pay_is_f64)]
         return keys, tuple(jnp.asarray(p) for p in pays)
 
     if not m.device:  # python-loop baselines: a few reps suffice
         reps = min(reps, 3)
         warmups = min(warmups, 1)
+    def _stage_keys(k):
+        if not m.device:
+            return k
+        return jnp.asarray(k.view(np.uint64) if key_is_f64 else k)
+
     datasets = [fresh(i) for i in range(min(reps, 8))]
     for w in range(warmups):
         k, ps = datasets[w % len(datasets)]
-        out = fn(jnp.asarray(k) if m.device else k, ps)
+        out = fn(_stage_keys(k), ps)
         _sync([out[0]])
 
     # Pre-stage every dataset on device, then time the whole rep loop with
@@ -86,7 +102,7 @@ def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
     # executes dispatches in order, so the final fence covers all reps —
     # the standard accelerator timing protocol replacing the reference's
     # per-call CPU clock (perf.hpp:33-47).
-    staged = [(jnp.asarray(k) if m.device else k, ps) for k, ps in datasets]
+    staged = [(_stage_keys(k), ps) for k, ps in datasets]
     if m.device:
         _sync([kd for kd, _ in staged])
     outs = []
@@ -101,7 +117,10 @@ def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
     if validate and num and last is not None:
         keys, out = last
         ko = np.asarray(out[0])
-        po = tuple(np.asarray(p) for p in out[1])
+        if key_is_f64:
+            ko = ko.view(np.float64)
+        po = tuple(np.asarray(p).view(np.float64) if f64 else np.asarray(p)
+                   for p, f64 in zip(out[1], pay_is_f64))
         err = D.check_data(ko, po, keys, ascending)
         if err:
             raise AssertionError(
