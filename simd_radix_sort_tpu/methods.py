@@ -113,7 +113,9 @@ def register(method: SortMethod):
 
 
 register(SortMethod("xla", _run_xla, _supports_all))
-register(SortMethod("radix", _run_radix, _supports_all, has_threshold=True))
+# radix's tuning knob is digit width (perf.perf_test_block sweeps it), not a
+# recursion threshold — LSD passes have no comparison-sort base case
+register(SortMethod("radix", _run_radix, _supports_all))
 register(SortMethod("rank", _run_rank, _rank_supports))
 register(SortMethod("count", _run_count, _count_supports))
 def _run_torch(keys, payloads, *, ascending=True, stable=False,

@@ -4,6 +4,8 @@ from . import (  # noqa: F401
     radix,
     rank_sort,
     sort,
+    topk,
     xla_sort,
 )
 from .quick_sort import partition  # noqa: F401
+from .topk import top_k, unique  # noqa: F401

@@ -161,3 +161,45 @@ def test_pipeline_filter_sort_aggregate():
     assert np.array_equal(np.asarray(gk)[:int(ng)], uniq)
     assert np.array_equal(np.asarray(sums[0])[:int(ng)],
                           np.array([g.sum() for g in groups]))
+
+
+def test_top_k_with_payloads():
+    from simd_radix_sort_tpu.ops import topk
+    rng = np.random.default_rng(21)
+    keys = rng.integers(0, 2**31, 20_000, dtype=np.int32)
+    pay = keys * np.int32(3)
+    kk, pp = topk.top_k(jnp.asarray(keys), jnp.asarray(pay), k=17)
+    order = np.argsort(-keys, kind="stable")[:17]
+    assert np.array_equal(np.asarray(kk), keys[order])
+    assert np.array_equal(np.asarray(pp), pay[order])
+    (ks,) = topk.top_k(jnp.asarray(keys), k=5, largest=False)
+    assert np.array_equal(np.asarray(ks), np.sort(keys)[:5])
+
+
+def test_top_k_floats_negative():
+    from simd_radix_sort_tpu.ops import topk
+    rng = np.random.default_rng(22)
+    keys = rng.normal(0, 1, 5000).astype(np.float32)
+    (kk,) = topk.top_k(jnp.asarray(keys), k=9)
+    assert np.array_equal(np.asarray(kk), np.sort(keys)[::-1][:9])
+
+
+def test_unique_with_multiplicity():
+    from simd_radix_sort_tpu.ops import topk
+    keys = np.array([5, 3, 5, 5, 1, 3, 9], dtype=np.int32)
+    pay = np.arange(7, dtype=np.uint32) * 10
+    count, ku, pu, mult = topk.unique(jnp.asarray(keys), jnp.asarray(pay))
+    c = int(count)
+    assert c == 4
+    assert np.array_equal(np.asarray(ku)[:c], [1, 3, 5, 9])
+    assert np.array_equal(np.asarray(mult)[:c], [1, 2, 3, 1])
+    # first payload row of each key (stable): 1->40, 3->10, 5->0, 9->60
+    assert np.array_equal(np.asarray(pu)[:c], [40, 10, 0, 60])
+
+
+def test_unique_all_same_and_empty():
+    from simd_radix_sort_tpu.ops import topk
+    keys = np.full(100, 7, dtype=np.uint8)
+    count, ku, mult = topk.unique(jnp.asarray(keys))
+    assert int(count) == 1 and int(np.asarray(ku)[0]) == 7
+    assert int(np.asarray(mult)[0]) == 100
