@@ -32,7 +32,11 @@ from .utils import data as D
 
 OUT_DIR = os.environ.get("SRS_PERF_DIR", "bench_out")
 
-REPS_NUMERATOR = 1 << 22      # perf.hpp:65-89
+# The reference uses 2^22/n reps (perf.hpp:65-89) for nanosecond-noise CPU
+# calls; dispatch through the axon tunnel jitters by milliseconds, so each
+# cell needs ~0.5-1 s of device time for a stable mean -> 16x the budget,
+# still capped at 512 reps.
+REPS_NUMERATOR = 1 << 26
 WARMUP_NUMERATOR = 1 << 18
 
 
