@@ -1,0 +1,156 @@
+"""Distributed query operators over a jax.sharding.Mesh.
+
+Scale-out of the single-chip operator set (ops/filter, ops/hashagg) — new
+scope per the north star (the reference has neither operators nor any
+parallelism, SURVEY.md section 2.11).  Same padded static-shape idiom as
+parallel/dist_sort: per-device valid counts travel with the data.
+
+  * `distributed_filter` — embarrassingly parallel: each device compacts
+    its shard locally; output stays sharded as (packed rows, counts).
+  * `distributed_group_aggregate` — two-phase aggregation: per-shard
+    group_aggregate, then an all_gather of the (small) per-shard partials
+    and a final combine on every device (replicated result).  Combinable
+    aggregates only ("sum", "count", "min", "max" — "mean" is derived as
+    sum/count at the end, the classic decomposition).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import filter as filter_op
+from ..ops import hashagg
+from .dist_sort import DEFAULT_AXIS, make_mesh
+
+
+def distributed_filter(predicate, keys, *payloads, mesh: Mesh | None = None,
+                       axis: str = DEFAULT_AXIS):
+    """Filter a row-sharded table.  Returns (counts, keys, payloads...):
+    each device's selected rows packed at the front of its shard, with a
+    per-device valid count (P,)."""
+    if mesh is None:
+        mesh = make_mesh()
+    sharding = NamedSharding(mesh, P(axis))
+    keys_d = jax.device_put(jnp.asarray(np.asarray(keys)), sharding)
+    pays_d = tuple(jax.device_put(jnp.asarray(np.asarray(p)), sharding)
+                   for p in payloads)
+
+    def local(k, *ps):
+        out = filter_op.filter_rows(predicate, k, *ps)
+        return (out[0][None],) + tuple(out[1:])
+
+    shard = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis),) * (1 + len(payloads)),
+        out_specs=(P(axis),) * (2 + len(payloads)))
+    out = jax.jit(shard)(keys_d, *pays_d)
+    return out[0], out[1], tuple(out[2:])
+
+
+def gather_filtered(counts, keys, payloads=()):
+    """Host-side: concatenate each device's valid prefix."""
+    counts = np.asarray(counts)
+    num_p = counts.shape[0]
+    ko = np.asarray(keys)
+    per = ko.shape[0] // num_p
+    parts_k, parts_p = [], [[] for _ in payloads]
+    for p in range(num_p):
+        c = int(counts[p])
+        parts_k.append(ko[p * per: p * per + c])
+        for j, pp in enumerate(payloads):
+            parts_p[j].append(np.asarray(pp)[p * per: p * per + c])
+    return (np.concatenate(parts_k),
+            tuple(np.concatenate(x) for x in parts_p))
+
+
+def distributed_group_aggregate(keys, values, agg: str = "sum",
+                                mesh: Mesh | None = None,
+                                axis: str = DEFAULT_AXIS):
+    """Aggregate values per distinct key across the whole mesh.
+
+    Returns (num_groups, group_keys, result) replicated on every device,
+    padded to the per-shard row count (group count must fit one shard's
+    rows, i.e. distinct keys <= n/P — the standard partial-aggregate
+    regime).  agg in {"sum", "count", "min", "max", "mean"}."""
+    if agg not in ("sum", "count", "min", "max", "mean"):
+        raise ValueError(f"unsupported distributed aggregate {agg!r}")
+    if mesh is None:
+        mesh = make_mesh()
+    num_p = mesh.shape[axis]
+    sharding = NamedSharding(mesh, P(axis))
+    keys_d = jax.device_put(jnp.asarray(np.asarray(keys)), sharding)
+    vals_d = jax.device_put(jnp.asarray(np.asarray(values)), sharding)
+
+    # phase-1 partial + phase-2 combine aggregates
+    partial_agg = {"sum": "sum", "mean": "sum", "count": "count",
+                   "min": "min", "max": "max"}[agg]
+    combine_agg = {"count": "sum"}.get(partial_agg, partial_agg)
+
+    def local(k, v):
+        ng, gk, (res,) = hashagg.group_aggregate(k, v, aggs=(partial_agg,))
+        part = res if partial_agg == "count" else res[0]
+        # mask invalid rows so gathered garbage cannot collide
+        n_l = k.shape[0]
+        valid = jnp.arange(n_l, dtype=jnp.int32) < ng
+        # gather partials from every device, then combine locally
+        gk_all = jax.lax.all_gather(gk, axis).reshape(-1)
+        part_all = jax.lax.all_gather(part, axis).reshape(-1)
+        valid_all = jax.lax.all_gather(valid, axis).reshape(-1)
+        # drop invalid rows by remapping their key to the key at row 0 with
+        # zero contribution for sum/count, identity for min/max
+        if combine_agg in ("sum",):
+            part_all = jnp.where(valid_all, part_all, 0)
+            ng2, gk2, (res2,) = hashagg.group_aggregate(
+                gk_all, part_all, aggs=(combine_agg,))
+            total = res2[0] if combine_agg != "count" else res2
+        else:
+            big = part_all.dtype.type(
+                np.iinfo(part_all.dtype).max
+                if np.dtype(part_all.dtype).kind in "iu"
+                else np.inf)
+            ident = big if combine_agg == "min" else (
+                part_all.dtype.type(np.iinfo(part_all.dtype).min)
+                if np.dtype(part_all.dtype).kind in "iu"
+                else part_all.dtype.type(-np.inf))
+            part_all = jnp.where(valid_all, part_all, ident)
+            ng2, gk2, (res2,) = hashagg.group_aggregate(
+                gk_all, part_all, aggs=(combine_agg,))
+            total = res2[0]
+        # invalid gathered rows carried arbitrary keys: they aggregated into
+        # spurious groups with identity/zero contributions only when their
+        # key collided with a real group (harmless) or formed a phantom
+        # group.  Rebuild validity: a group is real iff any contributing row
+        # was valid.
+        ng3, _, (any_valid,) = hashagg.group_aggregate(
+            gk_all, valid_all.astype(jnp.int32), aggs=("max",))
+        rows = jnp.arange(gk_all.shape[0], dtype=jnp.int32)
+        real = (any_valid[0] > 0) & (rows < ng2)
+        cnt, gk_f, total_f = filter_op.compact(real, gk2, total)
+        out = (cnt[None], gk_f[: k.shape[0]], total_f[: k.shape[0]])
+        return out
+
+    if agg == "mean":  # classic decomposition: mean = sum / count
+        ng, gk_out, s = distributed_group_aggregate(
+            keys, values, agg="sum", mesh=mesh, axis=axis)
+        _, _, c = distributed_group_aggregate(
+            keys, values, agg="count", mesh=mesh, axis=axis)
+        return ng, gk_out, s / c.astype(np.float64)
+
+    shard = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)))
+    counts, gks, totals = jax.jit(shard)(keys_d, vals_d)
+    # every device computed the same replicated answer; take device 0's
+    n_shard = np.asarray(gks).shape[0] // num_p
+    ng = int(np.asarray(counts)[0])
+    if ng > n_shard:
+        raise ValueError(
+            f"{ng} distinct keys exceed the per-shard capacity {n_shard}; "
+            "distributed_group_aggregate requires distinct keys <= n/P")
+    gk_out = np.asarray(gks)[:n_shard][:ng]
+    tot = np.asarray(totals)[:n_shard][:ng]
+    return ng, gk_out, tot

@@ -1,0 +1,46 @@
+"""Distributed operators on the 8-device virtual mesh."""
+
+import numpy as np
+import pytest
+
+from simd_radix_sort_tpu.parallel import dist_ops, dist_sort
+
+
+def test_distributed_filter():
+    rng = np.random.default_rng(31)
+    keys = rng.integers(0, 1000, 8 * 512, dtype=np.int32)
+    pay = rng.integers(0, 2**32, 8 * 512, dtype=np.uint32)
+    counts, k_out, (p_out,) = dist_ops.distributed_filter(
+        lambda k: k < 100, keys, pay)
+    got_k, (got_p,) = dist_ops.gather_filtered(counts, k_out, (p_out,))
+    mask = keys < 100
+    assert np.array_equal(got_k, keys[mask])
+    assert np.array_equal(got_p, pay[mask])
+
+
+@pytest.mark.parametrize("agg,combine", [
+    ("sum", lambda v: v.sum()),
+    ("count", lambda v: len(v)),
+    ("min", lambda v: v.min()),
+    ("max", lambda v: v.max()),
+])
+def test_distributed_group_aggregate(agg, combine):
+    rng = np.random.default_rng(32)
+    keys = rng.integers(0, 50, 8 * 256, dtype=np.int32)
+    vals = rng.integers(1, 1000, 8 * 256, dtype=np.int32)
+    ng, gk, res = dist_ops.distributed_group_aggregate(keys, vals, agg=agg)
+    uniq = np.unique(keys)
+    assert ng == len(uniq)
+    assert np.array_equal(gk, uniq)
+    want = np.array([combine(vals[keys == u]) for u in uniq])
+    assert np.array_equal(res, want), (res[:5], want[:5])
+
+
+def test_distributed_group_aggregate_mean():
+    rng = np.random.default_rng(33)
+    keys = rng.integers(0, 20, 8 * 128, dtype=np.int32)
+    vals = rng.integers(0, 100, 8 * 128, dtype=np.int32)
+    ng, gk, res = dist_ops.distributed_group_aggregate(keys, vals, agg="mean")
+    uniq = np.unique(keys)
+    want = np.array([vals[keys == u].mean() for u in uniq])
+    assert np.allclose(res, want)
