@@ -177,6 +177,28 @@ def sort_packed(packed, key_dtype, ascending: bool = True,
         bits = words[0].astype(common.unsigned_of(key_dtype))
     u = transforms.sortable_from_bits(bits, key_dtype, ascending)
     kops = transforms.split64(u) if u.dtype == jnp.uint64 else (u,)
-    out = jax.lax.sort(tuple(kops) + tuple(byte_cols),
+
+    # Rows travel packed into u32 words (4 byte-columns per operand), not as
+    # per-byte u8 operands: TPU lanes are 32-bit, so byte operands waste
+    # 4x the compare-exchange bandwidth.
+    full = esize // 4
+    word_cols = []
+    for w in range(full):
+        b = byte_cols[4 * w: 4 * w + 4]
+        word_cols.append(
+            b[0].astype(jnp.uint32)
+            | (b[1].astype(jnp.uint32) << 8)
+            | (b[2].astype(jnp.uint32) << 16)
+            | (b[3].astype(jnp.uint32) << 24))
+    tail_cols = byte_cols[4 * full:]
+
+    out = jax.lax.sort(tuple(kops) + tuple(word_cols) + tuple(tail_cols),
                        num_keys=len(kops), is_stable=stable)
-    return jnp.stack(out[len(kops):], axis=1)
+    sorted_words = out[len(kops): len(kops) + full]
+    sorted_tail = out[len(kops) + full:]
+    cols = []
+    for w in sorted_words:
+        for shift in (0, 8, 16, 24):
+            cols.append((w >> jnp.uint32(shift)).astype(jnp.uint8))
+    cols.extend(sorted_tail)
+    return jnp.stack(cols, axis=1)
