@@ -253,3 +253,48 @@ def perf_test_speedup(method_a: str, method_b: str, num: int,
             ".dat")
     header = "key_type " + " ".join(f"factor{f}" for f in factors)
     return _write_dat(name, header, rows)
+
+
+def perf_test_combined(num: int, key_dtype, payload_dtypes,
+                       distribution=D.Distribution.UNIFORM, seed: int = 1,
+                       reps: int | None = None) -> str:
+    """Separate-stream vs combined-layout (AoS) cost for one workload — the
+    reference's "+Combined" variant study (sort_methods.hpp:24-98).  The
+    AoS<->SoA conversion happens outside the timed region, exactly like the
+    reference harness (perf.hpp:28-63)."""
+    from .ops import sort as sort_mod
+    from .ops import xla_sort as xla_sort_mod
+    reps = reps if reps is not None else min(
+        512, max(1, REPS_NUMERATOR // max(num, 1)))
+    keys = D.make_keys(num, key_dtype, distribution, seed)
+    pays = D.make_payloads(keys, payload_dtypes, "fast")
+
+    rows = []
+    # separate streams
+    sep = jax.jit(lambda k, ps: xla_sort_mod.sort_arrays(k, ps))
+    kd = jnp.asarray(keys)
+    ps = tuple(jnp.asarray(p) for p in pays)
+    out = sep(kd, ps); _sync([out[0]])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = sep(kd, ps)
+    _sync([out[0]])
+    rows.append(("separate",
+                 f"{(time.perf_counter()-t0)/reps/max(num,1)*1e9:.4f}"))
+
+    # combined layout
+    packed = jnp.asarray(sort_mod.pack_rows(keys, pays))
+    comb = jax.jit(lambda p: sort_mod.sort_packed(p, key_dtype))
+    out = comb(packed); _sync([out])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = comb(packed)
+    _sync([out])
+    rows.append(("combined",
+                 f"{(time.perf_counter()-t0)/reps/max(num,1)*1e9:.4f}"))
+
+    name = "combined-" + "-".join(
+        [common.type_name(key_dtype)]
+        + [common.type_name(p) for p in payload_dtypes]
+        + [distribution.value, str(num)]) + ".dat"
+    return _write_dat(name, "layout nanoseconds_per_element", rows)
