@@ -8,11 +8,13 @@ two-way split; on TPU the idiomatic move is a multi-bit digit pass
 keys, and each pass is histogram -> exclusive scan -> stable-rank -> apply
 permutation, all expressible as dense vector/matrix ops.
 
-This module is the XLA-level implementation of that pass structure (blocked
-one-hot histograms and ranks via lax.scan, permutation applied with a single
-unique-index scatter per stream).  It is the semantic model for the Pallas
-kernels in radix_pallas.py, which replace the scatter with block-local
-matmul permutations and run-length DMA.
+Two movers implement that pass structure (see sort_arrays): the default
+delegates each pass's stable reorder to the variadic XLA sort (the only
+bulk mover measured near the VPU floor on TPU — random-access scatter runs
+~100 Melem/s, see BENCH_NOTES.md), and engine="scatter" keeps the direct
+histogram -> exclusive scan -> stable rank -> scatter formulation as the
+semantic reference.  The Pallas fast paths live where no reorder is needed
+at all (ops/pallas_hist.py, used by the counting sort).
 
 The sort is stable (LSD counting passes are stable), which is strictly
 stronger than the reference's unstable MSB sort — any output it produces is
