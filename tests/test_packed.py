@@ -54,3 +54,23 @@ def test_packed_empty_and_single():
         packed = srs.pack_rows(keys, payloads)
         out = np.asarray(srs.sort_packed(packed, np.int32))
         assert out.shape == packed.shape
+
+
+def test_packed_64_byte_elements():
+    """The reference's largest DataElement: u64 key + 56 payload bytes
+    (test.cpp:100-153 drives u8x63 / 64-byte combined elements through the
+    multi-register vector paths; here the row packs into 16 u32 words)."""
+    rng = np.random.default_rng(99)
+    n = 4096
+    keys = rng.integers(0, 2**64, n, dtype=np.uint64)
+    pays = tuple(rng.integers(0, 2**64, n, dtype=np.uint64) for _ in range(7))
+    packed = srs.pack_rows(keys, pays)
+    assert packed.shape == (n, 64)
+    out = np.asarray(srs.sort_packed(packed, np.uint64))
+    k2, p2 = srs.unpack_rows(out, np.uint64, [np.uint64] * 7)
+    order = np.argsort(keys, kind="stable")
+    assert np.array_equal(k2, keys[order])
+    for got, src in zip(p2, pays):
+        # payload rows must follow their keys; with (vanishingly unlikely)
+        # duplicate u64 keys any within-group order is fine
+        assert np.array_equal(got, src[order])
