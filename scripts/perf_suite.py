@@ -47,13 +47,27 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--n", type=int, default=1 << 18)  # reference n = 2^18
+    ap.add_argument("--resume", action="store_true",
+                    help="skip tables whose .dat already exists")
     args = ap.parse_args()
 
     combos = TYPE_COMBOS if args.full else TYPE_COMBOS[:4]
     dists = DISTS if args.full else DISTS[:2]
 
+    import os
+    from simd_radix_sort_tpu.utils import common
+
+    def done(name):
+        return args.resume and os.path.exists(os.path.join(perf.OUT_DIR, name))
+
     for k, ps in combos:
         for dist in dists:
+            name = "-".join([common.type_name(k)]
+                            + [common.type_name(p) for p in ps]
+                            + [dist.value, str(args.n)]) + ".dat"
+            if done(name):
+                print("skip", name, flush=True)
+                continue
             path = perf.perf_test(METHODS, args.n, k, ps, dist,
                                   reps=None if args.full else 3,
                                   warmups=1)

@@ -55,7 +55,9 @@ def _run_seq(keys, payloads, *, ascending=True, stable=False,
     keys_out = out[0]
     if key_dtype is not None:  # hand bits back, like the device methods
         keys_out = keys_out.view(np.uint64)
-    return jnp.asarray(keys_out), tuple(jnp.asarray(p) for p in out[1:])
+    # host baselines return host arrays: converting f64 results to device
+    # arrays would be lossy on TPU (f64 storage is emulated)
+    return keys_out, tuple(out[1:])
 
 
 def _run_radix(keys, payloads, *, ascending=True, stable=False,
@@ -97,7 +99,9 @@ def _run_quick(keys, payloads, *, ascending=True, stable=False,
     keys_out = out[0]
     if key_dtype is not None:
         keys_out = keys_out.view(np.uint64)
-    return jnp.asarray(keys_out), tuple(jnp.asarray(p) for p in out[1:])
+    # host baselines return host arrays: converting f64 results to device
+    # arrays would be lossy on TPU (f64 storage is emulated)
+    return keys_out, tuple(out[1:])
 
 
 def _count_supports(key_dtype, payload_dtypes, n) -> bool:
@@ -129,7 +133,9 @@ def _run_torch(keys, payloads, *, ascending=True, stable=False,
     keys_out = out[0]
     if key_dtype is not None:
         keys_out = keys_out.view(np.uint64)
-    return jnp.asarray(keys_out), tuple(jnp.asarray(p) for p in out[1:])
+    # host baselines return host arrays: converting f64 results to device
+    # arrays would be lossy on TPU (f64 storage is emulated)
+    return keys_out, tuple(out[1:])
 
 
 register(SortMethod("quick", _run_quick, _supports_all, has_threshold=True,
