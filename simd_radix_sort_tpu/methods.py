@@ -157,6 +157,12 @@ def resolve(method: str, key_dtype, payload_dtypes: Sequence, n: int | None
                            tuple(np.dtype(d) for d in payload_dtypes), n):
             return REGISTRY["count"]
         return REGISTRY["xla"]
+    if method == "autotune":
+        # measure-once-and-cache selection (the reference's empirical
+        # threshold tuning, engine-level)
+        from . import autotune
+        return REGISTRY[autotune.pick_method(key_dtype, payload_dtypes,
+                                             n or (1 << 20))]
     m = REGISTRY.get(method)
     if m is None:
         raise ValueError(f"unknown sort method {method!r}; "
