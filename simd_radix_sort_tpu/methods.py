@@ -6,12 +6,21 @@ TPU-native re-design of the reference's SortMethod adapter layer
 sort_methods.hpp:45-57), `has_threshold`, and a `run(...)` entry, so the test
 matrix and benchmark harness can iterate heterogeneous algorithms uniformly.
 
-Methods (growing per SURVEY.md section 7 build plan):
-  * "xla"   — transform + jax.lax.sort variadic comparison sort (baseline slice)
-  * "radix" — LSD digit histogram + rank + permutation radix sort
-  * "rank"  — single-block vectorized rank sort (cmp_sorters.hpp equivalent)
-  * "seq"   — host NumPy stable-argsort model (BitSorterSequential analogue,
-              differential baseline only; not jittable)
+Methods:
+  * "xla"    — transform + jax.lax.sort variadic comparison sort (the
+               general-purpose engine; fastest measured for key+payload)
+  * "radix"  — LSD digit passes (stable-sort mover; scatter engine kept
+               for differential testing)
+  * "count"  — Pallas counting/histogram sort, keys-only narrow or
+               adaptive small-range integer keys
+  * "rank"   — single-block vectorized rank sort (cmp_sorters.hpp
+               equivalent, MXU permutation apply)
+  * "quick"  — quicksort with the reference's pivot semantics (host
+               recursion; device partition primitive in ops/quick_sort)
+  * "torch"  — torch.sort host baseline (external-comparison role)
+  * "seq"    — host NumPy stable-argsort model (BitSorterSequential
+               analogue; differential baseline)
+Special selectors: "auto" (static policy), "autotune" (measured, cached).
 """
 
 from __future__ import annotations

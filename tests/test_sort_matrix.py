@@ -146,3 +146,10 @@ def test_full_matrix(full_matrix):
                 for n in (1, 10, 100, 1000, 10000):
                     for ascending in (True, False):
                         run_cell(key_dtype, pls, dist, n, "xla", ascending)
+
+
+def test_unsupported_dtype_errors():
+    with pytest.raises((TypeError, ValueError)):
+        srs.sort(np.zeros(4, dtype=np.complex64))
+    with pytest.raises(ValueError):
+        srs.sort(np.zeros(4, dtype=np.int32), method="nope")
