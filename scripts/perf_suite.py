@@ -37,6 +37,9 @@ TYPE_COMBOS = [
     (np.float64, (np.float64,)),
     (np.uint8, ()),
     (np.int16, ()),
+    (np.float64, ()),
+    (np.uint64, ()),
+    (np.uint32, ()),
 ]
 
 DISTS = [D.Distribution.UNIFORM, D.Distribution.GAUSSIAN,
