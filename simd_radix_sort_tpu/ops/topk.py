@@ -29,6 +29,8 @@ def top_k(keys: jax.Array, *payloads, k: int, largest: bool = True,
 
     Returns (keys_k, payloads_k...).  Rows are ordered best-first.  Ties
     are broken by input position (lax.top_k is stable in that sense)."""
+    if k > keys.shape[0]:
+        raise ValueError(f"k={k} exceeds row count {keys.shape[0]}")
     kops = transforms.key_operands(keys, ascending=not largest,
                                    logical_dtype=key_dtype)
     if len(kops) == 2:
@@ -52,6 +54,9 @@ def unique(keys: jax.Array, *payloads, key_dtype=None):
     padded arrays with the `count` valid rows packed at the front (the XLA
     padded-result idiom, as in ops/filter)."""
     n = keys.shape[0]
+    if n == 0:
+        zero = jnp.zeros(0, jnp.int32)
+        return (jnp.int32(0), keys) + tuple(payloads) + (zero,)
     ko, pos = xla_sort.sort_arrays(keys, (jnp.arange(n, dtype=jnp.int32),),
                                    ascending=True, stable=True,
                                    key_dtype=key_dtype)

@@ -4,6 +4,7 @@ Each operator is checked against a plain-NumPy model on randomized tables.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from simd_radix_sort_tpu.ops import filter as filter_ops
@@ -203,3 +204,11 @@ def test_unique_all_same_and_empty():
     count, ku, mult = topk.unique(jnp.asarray(keys))
     assert int(count) == 1 and int(np.asarray(ku)[0]) == 7
     assert int(np.asarray(mult)[0]) == 100
+
+
+def test_unique_empty_and_topk_bounds():
+    from simd_radix_sort_tpu.ops import topk
+    count, ku, mult = topk.unique(jnp.zeros(0, jnp.int32))
+    assert int(count) == 0 and np.asarray(ku).shape == (0,)
+    with pytest.raises(ValueError):
+        topk.top_k(jnp.zeros(3, jnp.int32), k=5)
