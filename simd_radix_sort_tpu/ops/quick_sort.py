@@ -133,14 +133,14 @@ def _quick_recursion(u: np.ndarray, pays: list, left: int, right: int,
     ratio = (split - left) / n
     next_choose = not choose_avg if min(ratio, 1 - ratio) < 0.2 else choose_avg
 
-    # constant-range pruning (quick_sort.hpp:321-330)
+    # constant-range pruning + child interval midpoints
+    # (quick_sort.hpp:321-330: avg = getAverage(pivot, smallest/largest))
     if pivot > smallest and split - 1 > left:
         _quick_recursion(u, pays, left, split - 1, next_choose,
-                         _get_average(smallest, pivot), umax, threshold)
+                         _get_average(pivot, smallest), umax, threshold)
     if _next_val(pivot, umax) < largest and right > split:
         _quick_recursion(u, pays, split, right, next_choose,
-                         _get_average(_next_val(pivot, umax), largest),
-                         umax, threshold)
+                         _get_average(pivot, largest), umax, threshold)
 
 
 def sort_np(keys: np.ndarray, *payloads: np.ndarray, ascending: bool = True,
@@ -156,9 +156,10 @@ def sort_np(keys: np.ndarray, *payloads: np.ndarray, ascending: bool = True,
         old = sys.getrecursionlimit()
         sys.setrecursionlimit(max(old, 20000))
         try:
-            # initial pivot = midpoint of the full type range
-            # (quick_sort.hpp:334-361)
-            _quick_recursion(u, pays, 0, n - 1, True,
+            # initial call: chooseAvg = FALSE (median-of-9 picks the first
+            # pivot) with avg = midpoint of the full type range carried
+            # down (quick_sort.hpp:334-361)
+            _quick_recursion(u, pays, 0, n - 1, False,
                              _get_average(u.dtype.type(0), umax), umax,
                              threshold)
         finally:
