@@ -64,16 +64,24 @@ def pick_method(key_dtype, payload_dtypes=(), n: int = 1 << 20,
     measuring once and caching."""
     cache = _load()
     k = _key(key_dtype, payload_dtypes, n)
+    pdts = tuple(np.dtype(p) for p in payload_dtypes)
     if not refresh and k in cache:
-        return cache[k]
+        m = methods_mod.REGISTRY.get(cache[k])
+        # cache entries are per size-BUCKET: a winner measured at the small
+        # end may not support every n in the bucket (e.g. rank's cap)
+        if m is not None and m.supports(np.dtype(key_dtype), pdts, n):
+            return cache[k]
 
     from . import perf
     from .utils import data as D
+    # candidates must support the whole bucket, not just this n, so the
+    # cached winner is valid for every later query mapping to the bucket
+    bucket_hi = 1 << (max(8, int(math.log2(max(n, 1)))) + 1)
     best, best_ns = None, float("inf")
     for name in _CANDIDATES:
         m = methods_mod.REGISTRY[name]
-        if not m.supports(np.dtype(key_dtype),
-                          tuple(np.dtype(p) for p in payload_dtypes), n):
+        if not (m.supports(np.dtype(key_dtype), pdts, n)
+                and m.supports(np.dtype(key_dtype), pdts, bucket_hi)):
             continue
         try:
             ns = perf.measure_ns_per_element(

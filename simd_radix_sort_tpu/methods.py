@@ -28,7 +28,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from .utils import transforms
@@ -54,19 +53,29 @@ def _run_xla(keys, payloads, *, ascending=True, stable=False,
                                 stable=stable, key_dtype=key_dtype)
 
 
-def _run_seq(keys, payloads, *, ascending=True, stable=False,
-             block_threshold=None, key_dtype=None):
-    keys = np.asarray(keys)
-    if key_dtype is not None:
-        keys = keys.view(np.dtype(key_dtype))
-    out = transforms.sort_np(keys, *[np.asarray(p) for p in payloads],
-                             ascending=ascending)
-    keys_out = out[0]
-    if key_dtype is not None:  # hand bits back, like the device methods
-        keys_out = keys_out.view(np.uint64)
-    # host baselines return host arrays: converting f64 results to device
-    # arrays would be lossy on TPU (f64 storage is emulated)
-    return keys_out, tuple(out[1:])
+def _host_method(sort_fn, takes_threshold: bool = False):
+    """Adapter for host-side baseline engines: converts inputs to host
+    arrays, round-trips f64-as-bits keys (key_dtype protocol), and returns
+    HOST arrays — converting f64 results to device arrays would be lossy
+    on TPU (f64 device storage is emulated)."""
+    def run(keys, payloads, *, ascending=True, stable=False,
+            block_threshold=None, key_dtype=None):
+        keys = np.asarray(keys)
+        if key_dtype is not None:
+            keys = keys.view(np.dtype(key_dtype))
+        kw = {"threshold": block_threshold} if (takes_threshold
+                                               and block_threshold) else {}
+        out = sort_fn(keys, *[np.asarray(p) for p in payloads],
+                      ascending=ascending, **kw)
+        keys_out = out[0]
+        if key_dtype is not None:  # hand bits back, like the device methods
+            keys_out = keys_out.view(np.uint64)
+        return keys_out, tuple(out[1:])
+    return run
+
+
+def _run_seq(keys, payloads, **kw):
+    return _host_method(transforms.sort_np)(keys, payloads, **kw)
 
 
 def _run_radix(keys, payloads, *, ascending=True, stable=False,
@@ -95,22 +104,15 @@ def _run_count(keys, payloads, *, ascending=True, stable=False,
     return counting.sort_keys(keys, ascending=ascending, key_dtype=key_dtype)
 
 
-def _run_quick(keys, payloads, *, ascending=True, stable=False,
-               block_threshold=None, key_dtype=None):
+def _run_quick(keys, payloads, **kw):
     from .ops import quick_sort
-    keys = np.asarray(keys)
-    if key_dtype is not None:
-        keys = keys.view(np.dtype(key_dtype))
-    out = quick_sort.sort_np(keys, *[np.asarray(p) for p in payloads],
-                             ascending=ascending,
-                             threshold=block_threshold
-                             or quick_sort.CMP_SORT_THRESHOLD)
-    keys_out = out[0]
-    if key_dtype is not None:
-        keys_out = keys_out.view(np.uint64)
-    # host baselines return host arrays: converting f64 results to device
-    # arrays would be lossy on TPU (f64 storage is emulated)
-    return keys_out, tuple(out[1:])
+    return _host_method(quick_sort.sort_np,
+                        takes_threshold=True)(keys, payloads, **kw)
+
+
+def _run_torch(keys, payloads, **kw):
+    from .ops import torch_baseline
+    return _host_method(torch_baseline.sort_np)(keys, payloads, **kw)
 
 
 def _count_supports(key_dtype, payload_dtypes, n) -> bool:
@@ -131,22 +133,6 @@ register(SortMethod("xla", _run_xla, _supports_all))
 register(SortMethod("radix", _run_radix, _supports_all))
 register(SortMethod("rank", _run_rank, _rank_supports))
 register(SortMethod("count", _run_count, _count_supports))
-def _run_torch(keys, payloads, *, ascending=True, stable=False,
-               block_threshold=None, key_dtype=None):
-    from .ops import torch_baseline
-    keys = np.asarray(keys)
-    if key_dtype is not None:
-        keys = keys.view(np.dtype(key_dtype))
-    out = torch_baseline.sort_np(keys, *[np.asarray(p) for p in payloads],
-                                 ascending=ascending)
-    keys_out = out[0]
-    if key_dtype is not None:
-        keys_out = keys_out.view(np.uint64)
-    # host baselines return host arrays: converting f64 results to device
-    # arrays would be lossy on TPU (f64 storage is emulated)
-    return keys_out, tuple(out[1:])
-
-
 register(SortMethod("quick", _run_quick, _supports_all, has_threshold=True,
                     device=False))
 register(SortMethod("torch", _run_torch, _supports_all, device=False))

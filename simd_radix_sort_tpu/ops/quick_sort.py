@@ -45,7 +45,8 @@ def partition(keys: jax.Array, payloads, pivot, ascending: bool = True):
     left-side row count; kmin/kmax are the observed key extremes
     (PartitionResult, quick_sort.hpp:25-30).  Jittable, static shapes."""
     if keys.shape[0] == 0:
-        return (keys, tuple(payloads), jnp.int32(0), keys, keys)
+        # no consistent scalar kmin/kmax exists for an empty partition
+        raise ValueError("partition requires at least one row")
     kops = transforms.key_operands(keys, ascending)
     pops = transforms.key_operands(jnp.full((1,), pivot, keys.dtype), ascending)
     if len(kops) == 2:

@@ -85,65 +85,56 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
     keys_d = jax.device_put(jnp.asarray(np.asarray(keys)), sharding)
     vals_d = jax.device_put(jnp.asarray(np.asarray(values)), sharding)
 
-    # phase-1 partial + phase-2 combine aggregates
-    partial_agg = {"sum": "sum", "mean": "sum", "count": "count",
-                   "min": "min", "max": "max"}[agg]
-    combine_agg = {"count": "sum"}.get(partial_agg, partial_agg)
+    # phase-1 partial aggregates per shard; phase-2 combine over gathered
+    # partials.  mean decomposes into (sum, count) partials combined by sum
+    # in the SAME exchange — one sort per phase regardless of agg.
+    partial_aggs = {"sum": ("sum",), "count": ("count",), "min": ("min",),
+                    "max": ("max",), "mean": ("sum", "count")}[agg]
+    combine_agg = "sum" if agg in ("sum", "count", "mean") else agg
+
+    def _identity(dtype):
+        if np.dtype(dtype).kind in "iu":
+            info = np.iinfo(dtype)
+            return dtype.type(info.max if combine_agg == "min" else info.min)
+        return dtype.type(np.inf if combine_agg == "min" else -np.inf)
 
     def local(k, v):
-        ng, gk, (res,) = hashagg.group_aggregate(k, v, aggs=(partial_agg,))
-        part = res if partial_agg == "count" else res[0]
-        # mask invalid rows so gathered garbage cannot collide
+        ng, gk, results = hashagg.group_aggregate(k, v, aggs=partial_aggs)
+        parts = [res if pa == "count" else res[0]
+                 for pa, res in zip(partial_aggs, results)]
         n_l = k.shape[0]
         valid = jnp.arange(n_l, dtype=jnp.int32) < ng
-        # gather partials from every device, then combine locally
-        gk_all = jax.lax.all_gather(gk, axis).reshape(-1)
-        part_all = jax.lax.all_gather(part, axis).reshape(-1)
-        valid_all = jax.lax.all_gather(valid, axis).reshape(-1)
-        # drop invalid rows by remapping their key to the key at row 0 with
-        # zero contribution for sum/count, identity for min/max
-        if combine_agg in ("sum",):
-            part_all = jnp.where(valid_all, part_all, 0)
-            ng2, gk2, (res2,) = hashagg.group_aggregate(
-                gk_all, part_all, aggs=(combine_agg,))
-            total = res2[0] if combine_agg != "count" else res2
-        else:
-            big = part_all.dtype.type(
-                np.iinfo(part_all.dtype).max
-                if np.dtype(part_all.dtype).kind in "iu"
-                else np.inf)
-            ident = big if combine_agg == "min" else (
-                part_all.dtype.type(np.iinfo(part_all.dtype).min)
-                if np.dtype(part_all.dtype).kind in "iu"
-                else part_all.dtype.type(-np.inf))
-            part_all = jnp.where(valid_all, part_all, ident)
-            ng2, gk2, (res2,) = hashagg.group_aggregate(
-                gk_all, part_all, aggs=(combine_agg,))
-            total = res2[0]
-        # invalid gathered rows carried arbitrary keys: they aggregated into
-        # spurious groups with identity/zero contributions only when their
-        # key collided with a real group (harmless) or formed a phantom
-        # group.  Rebuild validity: a group is real iff any contributing row
-        # was valid.
-        ng3, _, (any_valid,) = hashagg.group_aggregate(
-            gk_all, valid_all.astype(jnp.int32), aggs=("max",))
-        rows = jnp.arange(gk_all.shape[0], dtype=jnp.int32)
-        real = (any_valid[0] > 0) & (rows < ng2)
-        cnt, gk_f, total_f = filter_op.compact(real, gk2, total)
-        out = (cnt[None], gk_f[: k.shape[0]], total_f[: k.shape[0]])
-        return out
 
-    if agg == "mean":  # classic decomposition: mean = sum / count
-        ng, gk_out, s = distributed_group_aggregate(
-            keys, values, agg="sum", mesh=mesh, axis=axis)
-        _, _, c = distributed_group_aggregate(
-            keys, values, agg="count", mesh=mesh, axis=axis)
-        return ng, gk_out, s / c.astype(np.float64)
+        gk_all = jax.lax.all_gather(gk, axis).reshape(-1)
+        valid_all = jax.lax.all_gather(valid, axis).reshape(-1)
+        parts_all = [jax.lax.all_gather(p, axis).reshape(-1) for p in parts]
+        # invalid (padding) rows must not perturb any group they collide
+        # with: zero contribution under sum, identity under min/max; the
+        # validity bit rides along as one more stream (its identity makes
+        # combine(validity) == 1 iff any contributor was real)
+        if combine_agg == "sum":
+            parts_all = [jnp.where(valid_all, p, 0) for p in parts_all]
+            vstream = jnp.where(valid_all, 1, 0).astype(jnp.int32)
+        else:
+            parts_all = [jnp.where(valid_all, p, _identity(p.dtype))
+                         for p in parts_all]
+            vstream = jnp.where(valid_all, 1,
+                                _identity(np.dtype(np.int32))).astype(
+                                    jnp.int32)
+        ng2, gk2, (res2,) = hashagg.group_aggregate(
+            gk_all, tuple(parts_all) + (vstream,), aggs=(combine_agg,))
+        totals, vres = res2[:-1], res2[-1]
+        rows = jnp.arange(gk_all.shape[0], dtype=jnp.int32)
+        real = (vres >= 1) & (vres < 2**30) & (rows < ng2)
+        cnt, gk_f, *tot_f = filter_op.compact(real, gk2, *totals)
+        return ((cnt[None], gk_f[: n_l])
+                + tuple(t[: n_l] for t in tot_f))
 
     shard = jax.shard_map(
         local, mesh=mesh, in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis)))
-    counts, gks, totals = jax.jit(shard)(keys_d, vals_d)
+        out_specs=(P(axis),) * (2 + len(partial_aggs)))
+    out = jax.jit(shard)(keys_d, vals_d)
+    counts, gks, totals = out[0], out[1], out[2:]
     # every device computed the same replicated answer; take device 0's
     n_shard = np.asarray(gks).shape[0] // num_p
     ng = int(np.asarray(counts)[0])
@@ -152,5 +143,8 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
             f"{ng} distinct keys exceed the per-shard capacity {n_shard}; "
             "distributed_group_aggregate requires distinct keys <= n/P")
     gk_out = np.asarray(gks)[:n_shard][:ng]
-    tot = np.asarray(totals)[:n_shard][:ng]
-    return ng, gk_out, tot
+    tot = [np.asarray(t)[:n_shard][:ng] for t in totals]
+    if agg == "mean":
+        s, c = tot
+        return ng, gk_out, s / c.astype(np.float64)
+    return ng, gk_out, tot[0]

@@ -51,10 +51,15 @@ def make_hierarchical_mesh(ici_axis: str = "x", dcn_axis: str = "slice"
 
 def distributed_sort_multihost(keys, *payloads, ici_axis: str = "x",
                                dcn_axis: str = "slice", **kw):
-    """Sort across all processes' devices: flatten the hierarchical mesh to
-    one logical axis (mesh-minor = ICI-major order) and run the standard
-    splitter sort over it.  XLA decomposes the single all-to-all into
-    ICI-local and DCN legs."""
+    """Sort across all processes' devices over ONE flattened logical axis.
+
+    Devices are ordered slice-major (each slice's chips contiguous on the
+    axis), so key-adjacent buckets land on ICI neighbours and only the
+    bucket ranges straddling slice boundaries cross DCN; the exchange
+    itself is still a single flat ragged_all_to_all — a true two-phase
+    (per-slice sort, then cross-slice merge over `dcn_axis`) that bounds
+    DCN traffic to one pass is future work.  `make_hierarchical_mesh` is
+    provided for callers composing their own 2-D shardings."""
     mesh2 = make_hierarchical_mesh(ici_axis, dcn_axis)
     flat = Mesh(mesh2.devices.reshape(-1), (ici_axis,))
     return dist_sort.distributed_sort(keys, *payloads, mesh=flat,

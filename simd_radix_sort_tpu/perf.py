@@ -109,15 +109,15 @@ def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
     staged = [(_stage_keys(k), ps) for k, ps in datasets]
     if m.device:
         _sync([kd for kd, _ in staged])
-    outs = []
+    out = None
     t0 = time.perf_counter()
     for r in range(reps):
         kd, pays = staged[r % len(staged)]
-        outs.append(fn(kd, pays))
+        out = fn(kd, pays)  # only the last output is kept alive
     if m.device:
-        _sync([outs[-1][0]])
+        _sync([out[0]])
     total = time.perf_counter() - t0
-    last = (datasets[(reps - 1) % len(datasets)][0], outs[-1])
+    last = (datasets[(reps - 1) % len(datasets)][0], out)
     if validate and num and last is not None:
         keys, out = last
         ko = np.asarray(out[0])
@@ -169,10 +169,12 @@ def perf_test_num(methods, key_dtype, payload_dtypes,
                   max_num: int = 1 << 22, **kw) -> str:
     """n-scaling sweep, n = 1, 2, 4 ... max_num (PerfTest::perfTestNum,
     perf.hpp:368-416; header perf.hpp:383-385)."""
+    # a method must support EVERY size in the sweep to get a column
+    # (size-capped methods like rank would otherwise crash mid-table)
     methods = [m for m in methods
                if methods_mod.REGISTRY[m].supports(
                    np.dtype(key_dtype),
-                   tuple(np.dtype(p) for p in payload_dtypes), None)]
+                   tuple(np.dtype(p) for p in payload_dtypes), max_num)]
     rows = []
     n = 1
     while n <= max_num:
