@@ -12,8 +12,10 @@ sort over `jax.sharding.Mesh`.
 from .config import SortConfig
 from .methods import REGISTRY as SORT_METHODS
 from .ops.sort import (
+    argsort,
     pack_rows,
     sort,
+    sort_batched,
     sort_packed,
     sort_with_payloads,
     unpack_rows,
@@ -25,6 +27,8 @@ __all__ = [
     "SortConfig",
     "SORT_METHODS",
     "sort",
+    "argsort",
+    "sort_batched",
     "sort_with_payloads",
     "sort_packed",
     "pack_rows",

@@ -202,3 +202,31 @@ def sort_packed(packed, key_dtype, ascending: bool = True,
             cols.append((w >> jnp.uint32(shift)).astype(jnp.uint8))
     cols.extend(sorted_tail)
     return jnp.stack(cols, axis=1)
+
+
+def argsort(keys, ascending: bool = True, stable: bool = True):
+    """Permutation that sorts `keys` — int32 indices.  Jittable.
+
+    Not in the reference (it sorts in place), but the natural companion
+    operator; uses the same order-preserving transforms."""
+    return xla_sort.argsort_keys(jnp.asarray(keys), ascending=ascending,
+                                 stable=stable)
+
+
+def sort_batched(keys, *payloads, ascending: bool = True,
+                 stable: bool = False):
+    """Sort each ROW of 2-D arrays independently (keys and payloads in
+    lock-step along axis 1).  This is the engine's fastest shape on TPU —
+    batched row sorts stay VMEM-resident (BENCH_NOTES.md) — exposed
+    directly for block-sorted / segment workloads."""
+    keys = jnp.asarray(keys)
+    if keys.ndim != 2:
+        raise ValueError("sort_batched expects 2-D keys")
+    kops = transforms.key_operands(keys, ascending)
+    out = jax.lax.sort(tuple(kops) + tuple(jnp.asarray(p) for p in payloads),
+                       dimension=1, num_keys=len(kops), is_stable=stable)
+    keys_out = transforms.keys_from_operands(out[: len(kops)], keys.dtype,
+                                             ascending)
+    if not payloads:
+        return keys_out
+    return (keys_out,) + tuple(out[len(kops):])

@@ -153,3 +153,18 @@ def test_unsupported_dtype_errors():
         srs.sort(np.zeros(4, dtype=np.complex64))
     with pytest.raises(ValueError):
         srs.sort(np.zeros(4, dtype=np.int32), method="nope")
+
+
+def test_argsort_and_batched():
+    from simd_radix_sort_tpu.ops import sort as sort_mod
+    rng = np.random.default_rng(41)
+    keys = rng.integers(-1000, 1000, 5000).astype(np.int32)
+    perm = np.asarray(sort_mod.argsort(keys))
+    assert np.array_equal(keys[perm], np.sort(keys))
+    k2 = rng.normal(size=(8, 256)).astype(np.float32)
+    p2 = (k2 * 2).astype(np.float32)
+    ks, ps = sort_mod.sort_batched(k2, p2)
+    assert np.array_equal(np.asarray(ks), np.sort(k2, axis=1))
+    assert np.allclose(np.asarray(ps), np.sort(k2, axis=1) * 2)
+    kd = sort_mod.sort_batched(k2, ascending=False)
+    assert np.array_equal(np.asarray(kd), np.sort(k2, axis=1)[:, ::-1])
