@@ -93,3 +93,21 @@ def test_u64_duplicates_balanced(dist):
 
 def test_i64_sorted_input_balanced():
     _run(np.int64, (), D.Distribution.SORTED, 8 * 1024, capacity_factor=1.5)
+
+
+def test_zipf_skew_balanced():
+    """North-star skew case: heavy-tailed (Zipf) keys — the positional
+    tie-break must keep buckets balanced despite extreme duplication."""
+    rng = np.random.default_rng(44)
+    keys = np.minimum(rng.zipf(1.3, 8 * 2048), 2**31 - 1).astype(np.uint32)
+    (pay,) = D.make_payloads(keys, [np.uint32], "fast")
+    out_k, out_p, counts, overflow, meta = dist_sort.distributed_sort(
+        keys, pay, mesh=dist_sort.make_mesh(8), capacity_factor=1.5,
+        max_retries=0)
+    assert not bool(np.asarray(overflow).any())
+    got_k, (got_p,) = dist_sort.gather_result(out_k, out_p, counts, meta)
+    assert np.array_equal(got_k, np.sort(keys))
+    assert D.check_data(got_k, (got_p,), keys) == ""
+    # balance: no device holds more than 1.25x the mean
+    c = np.asarray(counts)
+    assert c.max() <= 1.25 * c.mean()
