@@ -58,16 +58,13 @@ def main():
     dists = DISTS if args.full else DISTS[:2]
 
     import os
-    from simd_radix_sort_tpu.utils import common
 
     def done(name):
         return args.resume and os.path.exists(os.path.join(perf.OUT_DIR, name))
 
     for k, ps in combos:
         for dist in dists:
-            name = "-".join([common.type_name(k)]
-                            + [common.type_name(p) for p in ps]
-                            + [dist.value, str(args.n)]) + ".dat"
+            name = perf.table_name(k, ps, dist, args.n)
             if done(name):
                 print("skip", name, flush=True)
                 continue

@@ -88,7 +88,11 @@ def pick_method(key_dtype, payload_dtypes=(), n: int = 1 << 20,
                 name, n, key_dtype, payload_dtypes,
                 D.Distribution.UNIFORM, reps=reps, warmups=1,
                 validate=False)
-        except Exception:
+        except Exception as e:  # pragma: no cover - engine regression path
+            import warnings
+            warnings.warn(
+                f"autotune: candidate {name!r} failed for {k}: "
+                f"{type(e).__name__}: {e}", RuntimeWarning)
             continue
         if ns < best_ns:
             best, best_ns = name, ns

@@ -147,9 +147,13 @@ def resolve(method: str, key_dtype, payload_dtypes: Sequence, n: int | None
     if method == "auto":
         # keys-only narrow/adaptive-range integer keys: counting sort runs
         # near memory bandwidth (its >K_MAX_RANGE fallback is the xla path,
-        # chosen inside jit via lax.cond, so picking it is always safe).
-        if _count_supports(np.dtype(key_dtype),
-                           tuple(np.dtype(d) for d in payload_dtypes), n):
+        # chosen inside jit via lax.cond, so picking it is always safe for
+        # large inputs).  Below ~2^15 rows its fixed block padding dominates
+        # and the comparison sort wins outright.
+        if ((n is None or n >= (1 << 15))
+                and _count_supports(np.dtype(key_dtype),
+                                    tuple(np.dtype(d) for d in payload_dtypes),
+                                    n)):
             return REGISTRY["count"]
         return REGISTRY["xla"]
     if method == "autotune":

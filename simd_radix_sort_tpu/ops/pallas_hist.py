@@ -60,6 +60,8 @@ def histogram(offsets: jax.Array, k: int, interpret: bool = False) -> jax.Array:
     any value outside [0, k) is ignored (callers clamp padding/out-of-range
     rows to k).  Returns (k,) int32."""
     n = offsets.shape[0]
+    if n == 0:
+        return jnp.zeros(k, jnp.int32)
     block = HIST_BLOCK_ROWS * 128
     pad = (-n) % block
     x = jnp.pad(offsets, (0, pad), constant_values=np.int32(k)).reshape(-1, 128)

@@ -204,13 +204,25 @@ def sort_packed(packed, key_dtype, ascending: bool = True,
     return jnp.stack(cols, axis=1)
 
 
+def _stage_keys_host(keys):
+    """Shared front-end staging: 64-bit guard + lossy-f64 bits routing
+    (same rules as sort()).  Returns (device_keys, key_dtype_or_None)."""
+    if not isinstance(keys, jax.Array):
+        keys = np.asarray(keys)
+    _check_64bit_ok(keys.dtype)
+    if jax.default_backend() != "cpu" and np.dtype(keys.dtype) == np.float64:
+        return jnp.asarray(np.asarray(keys).view(np.uint64)), np.float64
+    return jnp.asarray(keys), None
+
+
 def argsort(keys, ascending: bool = True, stable: bool = True):
     """Permutation that sorts `keys` — int32 indices.  Jittable.
 
     Not in the reference (it sorts in place), but the natural companion
     operator; uses the same order-preserving transforms."""
-    return xla_sort.argsort_keys(jnp.asarray(keys), ascending=ascending,
-                                 stable=stable)
+    keys, key_dtype = _stage_keys_host(keys)
+    return xla_sort.argsort_keys(keys, ascending=ascending, stable=stable,
+                                 key_dtype=key_dtype)
 
 
 def sort_batched(keys, *payloads, ascending: bool = True,
@@ -218,7 +230,15 @@ def sort_batched(keys, *payloads, ascending: bool = True,
     """Sort each ROW of 2-D arrays independently (keys and payloads in
     lock-step along axis 1).  This is the engine's fastest shape on TPU —
     batched row sorts stay VMEM-resident (BENCH_NOTES.md) — exposed
-    directly for block-sorted / segment workloads."""
+    directly for block-sorted / segment workloads.  f64 keys are supported
+    on CPU only (use sort() per row or u64 bit views on TPU)."""
+    if not isinstance(keys, jax.Array):
+        keys = np.asarray(keys)
+    _check_64bit_ok(keys.dtype)
+    if (jax.default_backend() != "cpu"
+            and np.dtype(keys.dtype) == np.float64):
+        raise ValueError("sort_batched does not support float64 on TPU "
+                         "(lossy device storage); view as uint64 bits")
     keys = jnp.asarray(keys)
     if keys.ndim != 2:
         raise ValueError("sort_batched expects 2-D keys")

@@ -34,13 +34,19 @@ def top_k(keys: jax.Array, *payloads, k: int, largest: bool = True,
     kops = transforms.key_operands(keys, ascending=not largest,
                                    logical_dtype=key_dtype)
     if len(kops) == 2:
-        # lexicographic (hi, lo) -> one u64 carrier for top_k
-        u = transforms.merge64(kops[0], kops[1])
+        # 64-bit keys: no u64 lanes on TPU (the X64 rewriter cannot lower
+        # most u64 HLOs) — select the k best rows with a 2-word
+        # lexicographic sort instead of lax.top_k on a merged carrier
+        n = keys.shape[0]
+        _, _, idx = jax.lax.sort(
+            kops + (jnp.arange(n, dtype=jnp.int32),), num_keys=2,
+            is_stable=True)
+        idx = idx[:k]
     else:
         (u,) = kops
-    # descending transform makes "largest" the max of the carrier either way
-    inv = ~u
-    _, idx = jax.lax.top_k(inv, k)
+        # the carrier is ascending for the requested order, so the k best
+        # rows are the k largest of its complement
+        _, idx = jax.lax.top_k(~u, k)
     keys_k = jnp.take(keys, idx)
     pays_k = tuple(jnp.take(p, idx) for p in payloads)
     return (keys_k,) + pays_k

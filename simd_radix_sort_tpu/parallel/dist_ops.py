@@ -52,19 +52,10 @@ def distributed_filter(predicate, keys, *payloads, mesh: Mesh | None = None,
 
 
 def gather_filtered(counts, keys, payloads=()):
-    """Host-side: concatenate each device's valid prefix."""
-    counts = np.asarray(counts)
-    num_p = counts.shape[0]
-    ko = np.asarray(keys)
-    per = ko.shape[0] // num_p
-    parts_k, parts_p = [], [[] for _ in payloads]
-    for p in range(num_p):
-        c = int(counts[p])
-        parts_k.append(ko[p * per: p * per + c])
-        for j, pp in enumerate(payloads):
-            parts_p[j].append(np.asarray(pp)[p * per: p * per + c])
-    return (np.concatenate(parts_k),
-            tuple(np.concatenate(x) for x in parts_p))
+    """Host-side: concatenate each device's valid prefix (same padded-
+    prefix protocol as the distributed sort's output)."""
+    from .dist_sort import gather_result
+    return gather_result(keys, tuple(payloads), counts)
 
 
 def distributed_group_aggregate(keys, values, agg: str = "sum",

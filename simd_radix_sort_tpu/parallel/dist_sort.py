@@ -63,13 +63,15 @@ def _sortable_with_tiebreak(u: jax.Array, axis_index, n_local: int,
     skew-repartition requirement of the north star).  64-bit keys never
     reach this helper: they carry the position as a third u32 word in the
     lexicographic domain built in local_fn."""
-    if u.dtype.itemsize * 8 + 32 <= 64:
-        pos = (jnp.arange(n_local, dtype=jnp.uint64) * jnp.uint64(num_p)
-               + axis_index.astype(jnp.uint64))
-        # key in the high bits, interleaved position in the low 32
-        wide = u.astype(jnp.uint64) << jnp.uint64(32)
-        return wide | (pos & jnp.uint64(0xFFFFFFFF))
-    return u
+    if u.dtype.itemsize * 8 + 32 > 64:
+        raise AssertionError(
+            "64-bit carriers must use the (hi, lo, pos) lexicographic "
+            "domain in local_fn, never this u64 packing")
+    pos = (jnp.arange(n_local, dtype=jnp.uint64) * jnp.uint64(num_p)
+           + axis_index.astype(jnp.uint64))
+    # key in the high bits, interleaved position in the low 32
+    wide = u.astype(jnp.uint64) << jnp.uint64(32)
+    return wide | (pos & jnp.uint64(0xFFFFFFFF))
 
 
 def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,

@@ -133,6 +133,28 @@ def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
     return total / reps / max(num, 1) * 1e9
 
 
+def table_name(key_dtype, payload_dtypes, distribution, num: int) -> str:
+    """Canonical per-workload .dat file name (shared with resume logic)."""
+    return "-".join([common.type_name(key_dtype)]
+                    + [common.type_name(p) for p in payload_dtypes]
+                    + [distribution.value, str(num)]) + ".dat"
+
+
+def _time_pipelined(fn, arg_sets, reps: int, warmups: int = 1) -> float:
+    """Seconds per call: dispatch `reps` calls back-to-back cycling over
+    `arg_sets`, fence once (the shared timing protocol — see
+    measure_ns_per_element)."""
+    out = None
+    for w in range(warmups):
+        out = fn(*arg_sets[w % len(arg_sets)])
+    _sync([out[0] if isinstance(out, (tuple, list)) else out])
+    t0 = time.perf_counter()
+    for r in range(reps):
+        out = fn(*arg_sets[r % len(arg_sets)])
+    _sync([out[0] if isinstance(out, (tuple, list)) else out])
+    return (time.perf_counter() - t0) / reps
+
+
 def _write_dat(name: str, header: str, rows) -> str:
     os.makedirs(OUT_DIR, exist_ok=True)
     path = os.path.join(OUT_DIR, name)
@@ -158,10 +180,9 @@ def perf_test(methods, num: int, key_dtype, payload_dtypes,
         ns = measure_ns_per_element(m, num, key_dtype, payload_dtypes,
                                     distribution, **kw)
         rows.append((m, f"{ns:.4f}"))
-    name = "-".join([common.type_name(key_dtype)]
-                    + [common.type_name(p) for p in payload_dtypes]
-                    + [distribution.value, str(num)]) + ".dat"
-    return _write_dat(name, "sort_method nanoseconds_per_element", rows)
+    return _write_dat(table_name(key_dtype, payload_dtypes, distribution,
+                                 num),
+                      "sort_method nanoseconds_per_element", rows)
 
 
 def perf_test_num(methods, key_dtype, payload_dtypes,
@@ -170,11 +191,15 @@ def perf_test_num(methods, key_dtype, payload_dtypes,
     """n-scaling sweep, n = 1, 2, 4 ... max_num (PerfTest::perfTestNum,
     perf.hpp:368-416; header perf.hpp:383-385)."""
     # a method must support EVERY size in the sweep to get a column
-    # (size-capped methods like rank would otherwise crash mid-table)
-    methods = [m for m in methods
-               if methods_mod.REGISTRY[m].supports(
-                   np.dtype(key_dtype),
-                   tuple(np.dtype(p) for p in payload_dtypes), max_num)]
+    # (size-capped methods like rank would otherwise crash mid-table);
+    # selector names (auto/autotune) are not REGISTRY keys and always pass
+    def _ok(m):
+        meth = methods_mod.REGISTRY.get(m)
+        return meth is None or meth.supports(
+            np.dtype(key_dtype),
+            tuple(np.dtype(p) for p in payload_dtypes), max_num)
+
+    methods = [m for m in methods if _ok(m)]
     rows = []
     n = 1
     while n <= max_num:
@@ -204,15 +229,9 @@ def perf_test_block(num: int, key_dtype, payload_dtypes,
         pays = tuple(jnp.asarray(p) for p in
                      D.make_payloads(keys, payload_dtypes, "fast"))
         kd = jnp.asarray(keys)
-        out = fn(kd, pays)
-        _sync([out[0]])
         reps = min(512, max(1, REPS_NUMERATOR // max(num, 1)))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(kd, pays)
-        _sync([out[0]])
-        ns = (time.perf_counter() - t0) / reps / max(num, 1) * 1e9
-        rows.append((b, f"{ns:.4f}"))
+        sec = _time_pipelined(fn, [(kd, pays)], reps)
+        rows.append((b, f"{sec / max(num, 1) * 1e9:.4f}"))
     name = "digits-" + "-".join([common.type_name(key_dtype)]
                                 + [common.type_name(p) for p in payload_dtypes]
                                 + [distribution.value, str(num)]) + ".dat"
@@ -276,24 +295,14 @@ def perf_test_combined(num: int, key_dtype, payload_dtypes,
     sep = jax.jit(lambda k, ps: xla_sort_mod.sort_arrays(k, ps))
     kd = jnp.asarray(keys)
     ps = tuple(jnp.asarray(p) for p in pays)
-    out = sep(kd, ps); _sync([out[0]])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = sep(kd, ps)
-    _sync([out[0]])
-    rows.append(("separate",
-                 f"{(time.perf_counter()-t0)/reps/max(num,1)*1e9:.4f}"))
+    sec = _time_pipelined(sep, [(kd, ps)], reps)
+    rows.append(("separate", f"{sec / max(num, 1) * 1e9:.4f}"))
 
     # combined layout
     packed = jnp.asarray(sort_mod.pack_rows(keys, pays))
     comb = jax.jit(lambda p: sort_mod.sort_packed(p, key_dtype))
-    out = comb(packed); _sync([out])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = comb(packed)
-    _sync([out])
-    rows.append(("combined",
-                 f"{(time.perf_counter()-t0)/reps/max(num,1)*1e9:.4f}"))
+    sec = _time_pipelined(comb, [(packed,)], reps)
+    rows.append(("combined", f"{sec / max(num, 1) * 1e9:.4f}"))
 
     name = "combined-" + "-".join(
         [common.type_name(key_dtype)]

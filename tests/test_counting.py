@@ -55,11 +55,14 @@ def test_counting_rejects_payloads():
 
 def test_auto_picks_count_for_narrow_keys_only():
     from simd_radix_sort_tpu import methods
-    assert methods.resolve("auto", np.uint8, (), 1000).name == "count"
-    assert methods.resolve("auto", np.int32, (), 1000).name == "count"
-    assert methods.resolve("auto", np.uint8, (np.uint32,), 1000).name == "xla"
-    assert methods.resolve("auto", np.uint64, (), 1000).name == "xla"
-    assert methods.resolve("auto", np.float32, (), 1000).name == "xla"
+    big = 1 << 16  # above the small-n cutoff where counting's padding wins
+    assert methods.resolve("auto", np.uint8, (), big).name == "count"
+    assert methods.resolve("auto", np.int32, (), big).name == "count"
+    # tiny inputs stay on the comparison path (fixed-block padding cost)
+    assert methods.resolve("auto", np.uint8, (), 1000).name == "xla"
+    assert methods.resolve("auto", np.uint8, (np.uint32,), big).name == "xla"
+    assert methods.resolve("auto", np.uint64, (), big).name == "xla"
+    assert methods.resolve("auto", np.float32, (), big).name == "xla"
 
 
 def test_supports_predicate():
