@@ -10,8 +10,10 @@ parallel/dist_sort: per-device valid counts travel with the data.
   * `distributed_group_aggregate` — two-phase aggregation: per-shard
     group_aggregate, then an all_gather of the (small) per-shard partials
     and a final combine on every device (replicated result).  Combinable
-    aggregates only ("sum", "count", "min", "max" — "mean" is derived as
-    sum/count at the end, the classic decomposition).
+    aggregates only ("sum", "count", "min", "max" — "mean" travels as
+    (sum, count) partials in the same exchange).
+  * `distributed_top_k` — two-level selection: local top-k, k*P-row
+    gather, final top-k (exchange independent of n).
 """
 
 from __future__ import annotations
@@ -139,3 +141,32 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
         s, c = tot
         return ng, gk_out, s / c.astype(np.float64)
     return ng, gk_out, tot[0]
+
+
+def distributed_top_k(keys, *payloads, k: int, largest: bool = True,
+                      mesh: Mesh | None = None, axis: str = DEFAULT_AXIS):
+    """k extreme rows across the whole mesh: local top-k per shard, then a
+    k*P-row all_gather and one final local top-k (the classic two-level
+    selection — exchange volume is k*P rows, independent of n).
+
+    Returns (keys_k, payloads_k...) as host arrays, best-first."""
+    from ..ops import topk
+    if mesh is None:
+        mesh = make_mesh()
+    sharding = NamedSharding(mesh, P(axis))
+    keys_d = jax.device_put(jnp.asarray(np.asarray(keys)), sharding)
+    pays_d = tuple(jax.device_put(jnp.asarray(np.asarray(p)), sharding)
+                   for p in payloads)
+
+    def local(kk, *ps):
+        loc = topk.top_k(kk, *ps, k=min(k, kk.shape[0]), largest=largest)
+        gathered = [jax.lax.all_gather(s, axis).reshape(-1) for s in loc]
+        fin = topk.top_k(gathered[0], *gathered[1:], k=k, largest=largest)
+        return tuple(f[None] for f in fin)  # replicated -> per-device row
+
+    shard = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis),) * (1 + len(payloads)),
+        out_specs=(P(axis),) * (1 + len(payloads)))
+    out = jax.jit(shard)(keys_d, *pays_d)
+    # all devices hold identical answers; take the first device's row
+    return tuple(np.asarray(o)[0] for o in out)

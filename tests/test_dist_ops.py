@@ -44,3 +44,15 @@ def test_distributed_group_aggregate_mean():
     uniq = np.unique(keys)
     want = np.array([vals[keys == u].mean() for u in uniq])
     assert np.allclose(res, want)
+
+
+def test_distributed_top_k():
+    rng = np.random.default_rng(55)
+    keys = rng.integers(0, 2**31, 8 * 1024, dtype=np.int32)
+    pay = keys * np.int32(2) + np.int32(1)
+    kk, pp = dist_ops.distributed_top_k(keys, pay, k=13)
+    order = np.argsort(-keys, kind="stable")[:13]
+    assert np.array_equal(kk, keys[order])
+    assert np.array_equal(pp, pay[order])
+    (ks,) = dist_ops.distributed_top_k(keys, k=5, largest=False)
+    assert np.array_equal(ks, np.sort(keys)[:5])
