@@ -8,11 +8,11 @@ sort that is 100% dense vector/matrix work:
 
   rank[i] = #{ j : key[j] < key[i]  or  (key[j] == key[i] and j < i) }
 
-computed as an (n, n) comparison matrix reduced along one axis (VPU), and the
-resulting permutation applied scatter-free with an exact one-hot matmul (MXU):
-values are split into 16-bit halves (exactly representable in f32), multiplied
-by the one-hot rank matrix, and recombined.  Ties broken by input index make
-the sort STABLE.
+computed as an (n, n) comparison matrix reduced along one axis (VPU).  The
+rank permutation is inverted scatter-free with an exact one-hot matmul on
+the MXU (iota row-vector times the one-hot destination matrix, exact in f32
+for n <= 2^24), and the data streams then move with one take per stream.
+Ties broken by input index make the sort STABLE.
 
 This is both the base-case sorter for radix partition tails and a standalone
 method for small n (methods.REGISTRY["rank"]).

@@ -111,6 +111,11 @@ def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
         ops = []
         for p, split in zip(payloads_l, pl_split):
             if split:
+                # BIT-preserving 64-bit split: float64 must be bitcast (a
+                # value cast would truncate it); int64 -> uint64 via astype
+                # is already bit-identical (two's complement wrap)
+                if np.dtype(p.dtype).kind == "f":
+                    p = jax.lax.bitcast_convert_type(p, jnp.uint64)
                 hi, lo = transforms.split64(p.astype(jnp.uint64))
                 ops.extend([hi, lo])
             else:
@@ -125,8 +130,11 @@ def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
                 hi = next(it)
                 lo = next(it)
                 merged = transforms.merge64(hi, lo)
-                out.append(merged.astype(p.dtype) if p.dtype != merged.dtype
-                           else merged)
+                if np.dtype(p.dtype).kind == "f":
+                    merged = jax.lax.bitcast_convert_type(merged, p.dtype)
+                elif p.dtype != merged.dtype:
+                    merged = merged.astype(p.dtype)
+                out.append(merged)
             else:
                 out.append(next(it))
         return tuple(out)

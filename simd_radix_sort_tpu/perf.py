@@ -3,8 +3,11 @@
 Functional equivalent of /root/reference/src/perf.hpp:
   * measure_ns_per_element mirrors measureTimePerElement (perf.hpp:28-63):
     fresh dataset, layout conversion outside the timed region, the sort
-    bracketed by wall timing, and the output VERIFIED on every measurement
-    (perf.hpp:51-59 exits on failure; we raise);
+    bracketed by wall timing, and the final rep's output verified against
+    the oracle (perf.hpp:51-59 verifies every rep and exits on failure; we
+    verify once per cell — reps are back-to-back device dispatches of the
+    SAME compiled program on cycling datasets, so a per-rep host pull would
+    only re-check determinism at the cost of a tunnel round trip each);
   * repetition protocol: max(1, 2^22/n) measured runs over fresh datasets
     plus max(1, 2^18/n) warmups (perf.hpp:65-89);
   * experiment families writing whitespace .dat tables with the reference's

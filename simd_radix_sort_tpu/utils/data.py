@@ -59,8 +59,11 @@ def _fill_uniform(rng: np.random.Generator, num: int, dtype: np.dtype):
 def _fill_gaussian(rng: np.random.Generator, num: int, dtype: np.dtype):
     if dtype.kind in "iu":
         vals = np.round(rng.normal(0.0, 100.0, size=num))
-        info = np.iinfo(dtype)
-        return np.clip(vals, info.min, info.max).astype(dtype)
+        # out-of-range draws WRAP through int64 (two's complement), matching
+        # the reference's double->int conversion as gcc emits it
+        # (data.hpp:105-170 protocol; native/harness.cpp fill_gaussian) —
+        # clipping instead would pile duplicates at the dtype bounds
+        return vals.astype(np.int64).astype(dtype)
     return rng.normal(0.0, 1.0, size=num).astype(dtype)
 
 

@@ -111,3 +111,24 @@ def test_zipf_skew_balanced():
     # balance: no device holds more than 1.25x the mean
     c = np.asarray(counts)
     assert c.max() <= 1.25 * c.mean()
+
+
+def test_f64_payload_bits_preserved():
+    """float64 payloads must cross the 64-bit split/merge as BITS (a value
+    cast truncates): negatives, fractions and NaN payloads survive."""
+    rng = np.random.default_rng(66)
+    keys = rng.integers(0, 2**32, 8 * 256, dtype=np.uint32)
+    pay = rng.normal(0, 5, 8 * 256)
+    pay[:7] = [np.nan, -np.inf, np.inf, -0.0, 1e-300, -2.75, 9.181]
+    out_k, out_p, counts, overflow, meta = dist_sort.distributed_sort(
+        keys, pay, mesh=dist_sort.make_mesh(8))
+    got_k, (got_p,) = dist_sort.gather_result(out_k, out_p, counts, meta)
+    order = np.argsort(keys, kind="stable")
+    assert np.array_equal(got_k, keys[order])
+    # same multiset of payload bits, and pairing preserved per key
+    assert np.array_equal(np.sort(got_p.view(np.uint64)),
+                          np.sort(pay.view(np.uint64)))
+    m = {int(k): v for k, v in zip(keys.tolist(),
+                                   pay.view(np.uint64).tolist())}
+    for k, v in zip(got_k.tolist(), got_p.view(np.uint64).tolist()):
+        assert m[int(k)] == v

@@ -115,3 +115,20 @@ def test_native_pack_matches_python_pack():
     native_packed = native.pack_rows(keys, (pa,))
     py_packed = np.asarray(srs.pack_rows(keys, (pa,)))
     assert np.array_equal(native_packed, py_packed)
+
+
+def test_gaussian_narrow_int_wraps_not_clips():
+    """Out-of-range Gaussian draws must WRAP through int64 (the reference's
+    double->int conversion as gcc emits it, native/harness.cpp
+    fill_gaussian), never clip: clipping piles ~20% of sigma=100 int8 draws
+    onto the two dtype bounds.  (The python and native streams use
+    different RNGs by design — protocol equivalence, not bit equality.)"""
+    for dt, gen in ((np.int8, D.make_keys), (np.int8, None)):
+        if gen is None:
+            if not native.available():
+                break
+            keys = native.make_keys(50_000, dt, D.Distribution.GAUSSIAN, 9)
+        else:
+            keys = gen(50_000, dt, D.Distribution.GAUSSIAN, seed=9)
+        frac_at_bounds = np.mean((keys == 127) | (keys == -128))
+        assert frac_at_bounds < 0.02, (dt, gen, frac_at_bounds)
