@@ -97,3 +97,14 @@ def inner_join_expand(probe_keys: jax.Array, probe_payloads,
     out_build_pays = tuple(jnp.take(p, build_pos, axis=0)
                            for p in build_pays_s)
     return total, probe_idx_safe, out_probe_keys, out_probe_pays, out_build_pays
+
+
+def semi_join(probe_keys, probe_payloads, build_keys, anti: bool = False):
+    """Rows of the probe table whose key does (semi) or does not (anti)
+    appear in the build table — lookup + stable compaction.
+
+    Returns (count, probe_keys_packed, probe_payloads_packed...)."""
+    from . import filter as filter_op
+    found, _, _ = lookup_join(probe_keys, build_keys)
+    mask = ~found if anti else found
+    return filter_op.compact(mask, probe_keys, *probe_payloads)

@@ -212,3 +212,23 @@ def test_unique_empty_and_topk_bounds():
     assert int(count) == 0 and np.asarray(ku).shape == (0,)
     with pytest.raises(ValueError):
         topk.top_k(jnp.zeros(3, jnp.int32), k=5)
+
+
+def test_semi_and_anti_join():
+    probe_k = np.array([5, 3, 9, 5, 1], dtype=np.int32)
+    probe_v = np.array([50, 30, 90, 51, 10], dtype=np.uint32)
+    build_k = np.array([5, 3, 7], dtype=np.int32)
+    cnt, pk, pv = hashjoin.semi_join(jnp.asarray(probe_k),
+                                     (jnp.asarray(probe_v),),
+                                     jnp.asarray(build_k))
+    c = int(cnt)
+    assert c == 3
+    assert np.array_equal(np.asarray(pk)[:c], [5, 3, 5])
+    assert np.array_equal(np.asarray(pv)[:c], [50, 30, 51])
+    cnt, pk, pv = hashjoin.semi_join(jnp.asarray(probe_k),
+                                     (jnp.asarray(probe_v),),
+                                     jnp.asarray(build_k), anti=True)
+    c = int(cnt)
+    assert c == 2
+    assert np.array_equal(np.asarray(pk)[:c], [9, 1])
+    assert np.array_equal(np.asarray(pv)[:c], [90, 10])
