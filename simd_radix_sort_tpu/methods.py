@@ -47,7 +47,7 @@ def _supports_all(key_dtype, payload_dtypes, n) -> bool:
 
 
 def _run_xla(keys, payloads, *, ascending=True, stable=False,
-             block_threshold=None, key_dtype=None):
+             block_threshold=None, digit_bits=None, key_dtype=None):
     from .ops import xla_sort
     return xla_sort.sort_arrays(keys, payloads, ascending=ascending,
                                 stable=stable, key_dtype=key_dtype)
@@ -59,7 +59,7 @@ def _host_method(sort_fn, takes_threshold: bool = False):
     HOST arrays — converting f64 results to device arrays would be lossy
     on TPU (f64 device storage is emulated)."""
     def run(keys, payloads, *, ascending=True, stable=False,
-            block_threshold=None, key_dtype=None):
+            block_threshold=None, digit_bits=None, key_dtype=None):
         keys = np.asarray(keys)
         if key_dtype is not None:
             keys = keys.view(np.dtype(key_dtype))
@@ -79,14 +79,15 @@ def _run_seq(keys, payloads, **kw):
 
 
 def _run_radix(keys, payloads, *, ascending=True, stable=False,
-               block_threshold=None, key_dtype=None):
+               block_threshold=None, digit_bits=None, key_dtype=None):
     from .ops import radix
     return radix.sort_arrays(keys, payloads, ascending=ascending,
-                             stable=stable, key_dtype=key_dtype)
+                             stable=stable, digit_bits=digit_bits,
+                             key_dtype=key_dtype)
 
 
 def _run_rank(keys, payloads, *, ascending=True, stable=False,
-              block_threshold=None, key_dtype=None):
+              block_threshold=None, digit_bits=None, key_dtype=None):
     from .ops import rank_sort
     return rank_sort.sort_arrays(keys, payloads, ascending=ascending,
                                  key_dtype=key_dtype)
@@ -98,7 +99,7 @@ def _rank_supports(key_dtype, payload_dtypes, n) -> bool:
 
 
 def _run_count(keys, payloads, *, ascending=True, stable=False,
-               block_threshold=None, key_dtype=None):
+               block_threshold=None, digit_bits=None, key_dtype=None):
     from .ops import counting
     assert not payloads
     return counting.sort_keys(keys, ascending=ascending, key_dtype=key_dtype)

@@ -90,58 +90,73 @@ def _get_average(a: np.uint64, b: np.uint64) -> np.uint64:
 
 
 def _median(a, b, c):
+    """median(a, b, c) (quick_sort.hpp:256-274)."""
     return max(min(a, b), min(max(a, b), c))
 
 
-def _median_of_9(u: np.ndarray, left: int, right: int) -> np.uint64:
-    """Median of 3 medians of 3, sampled like getMedianOf9
-    (quick_sort.hpp:275-294)."""
-    n = right - left + 1
-    if n < 9:
-        return u[left + n // 2]
-    step = n // 8
-    s = [u[left + i * step] for i in range(8)] + [u[right]]
-    return _median(_median(s[0], s[1], s[2]),
-                   _median(s[3], s[4], s[5]),
-                   _median(s[6], s[7], s[8]))
+def _median_of_3(u: np.ndarray, left: int, right: int):
+    """getMedianOf3 (quick_sort.hpp:276-283): values at left, the interval's
+    own midpoint, and right."""
+    mid = left + (right - left) // 2
+    return _median(u[left], u[mid], u[right])
 
 
-def _quick_recursion(u: np.ndarray, pays: list, left: int, right: int,
-                     choose_avg: bool, avg: np.uint64, umax: np.uint64,
+def _median_of_9(u: np.ndarray, left: int, right: int):
+    """getMedianOf9 (quick_sort.hpp:285-294), index arithmetic replicated
+    exactly: thirds boundaries leftMid = left + (right-left)/3 and
+    rightMid = left + 2*(right-left)/3, median of the three medians-of-3
+    over [left, leftMid], [leftMid+1, rightMid], [rightMid+1, right]."""
+    left_mid = left + (right - left) // 3
+    right_mid = left + 2 * (right - left) // 3
+    return _median(_median_of_3(u, left, left_mid),
+                   _median_of_3(u, left_mid + 1, right_mid),
+                   _median_of_3(u, right_mid + 1, right))
+
+
+def _quick_recursion(u: np.ndarray, pays: list, left0: int, right0: int,
+                     choose_avg0: bool, avg0: np.uint64, umax: np.uint64,
                      threshold: int):
-    """quickRecursion (quick_sort.hpp:296-332) on the unsigned carrier."""
-    n = right - left + 1
-    if n <= 1:
-        return
-    if n <= threshold:  # insertion-sort base case -> stable slice sort
-        order = np.argsort(u[left:right + 1], kind="stable")
-        u[left:right + 1] = u[left:right + 1][order]
+    """quickRecursion (quick_sort.hpp:296-332) on the unsigned carrier,
+    driven by an explicit work stack (same call tree, LIFO order, immune to
+    Python recursion limits on adversarial inputs)."""
+    stack = [(left0, right0, choose_avg0, avg0)]
+    while stack:
+        left, right, choose_avg, avg = stack.pop()
+        if right - left <= 0:
+            continue
+        if right - left < threshold:  # insertion-sort base -> stable sort
+            order = np.argsort(u[left:right + 1], kind="stable")
+            u[left:right + 1] = u[left:right + 1][order]
+            for p in pays:
+                p[left:right + 1] = p[left:right + 1][order]
+            continue
+
+        pivot = avg if choose_avg else _median_of_9(u, left, right)
+        seg = u[left:right + 1]
+        le = seg <= pivot
+        smallest, largest = seg.min(), seg.max()
+        order = np.argsort(~le, kind="stable")  # stable partition
+        u[left:right + 1] = seg[order]
         for p in pays:
             p[left:right + 1] = p[left:right + 1][order]
-        return
+        split = left + int(le.sum())
 
-    pivot = avg if choose_avg else _median_of_9(u, left, right)
-    seg = u[left:right + 1]
-    le = seg <= pivot
-    smallest, largest = seg.min(), seg.max()
-    order = np.argsort(~le, kind="stable")  # stable partition
-    u[left:right + 1] = seg[order]
-    for p in pays:
-        p[left:right + 1] = p[left:right + 1][order]
-    split = left + int(le.sum())
+        # anti-skew toggle: ratio = min(split-left, right-split+1)/n < 0.2
+        # flips the pivot strategy (quick_sort.hpp:313-319)
+        n = right - left + 1
+        ratio = min(split - left, right - split + 1) / n
+        next_choose = not choose_avg if ratio < 0.2 else choose_avg
 
-    # anti-skew toggle (ratio < 0.2 on either side -> flip strategy)
-    ratio = (split - left) / n
-    next_choose = not choose_avg if min(ratio, 1 - ratio) < 0.2 else choose_avg
-
-    # constant-range pruning + child interval midpoints
-    # (quick_sort.hpp:321-330: avg = getAverage(pivot, smallest/largest))
-    if pivot > smallest and split - 1 > left:
-        _quick_recursion(u, pays, left, split - 1, next_choose,
-                         _get_average(pivot, smallest), umax, threshold)
-    if _next_val(pivot, umax) < largest and right > split:
-        _quick_recursion(u, pays, split, right, next_choose,
-                         _get_average(pivot, largest), umax, threshold)
+        # constant-range pruning + child interval midpoints, exactly
+        # quick_sort.hpp:321-331 (Up branch; descending is handled by the
+        # carrier complement).  Push right child first so the left child
+        # pops first, matching the reference's call order.
+        if _next_val(pivot, umax) < largest:
+            stack.append((split, right, next_choose,
+                          _get_average(pivot, largest)))
+        if pivot > smallest:
+            stack.append((left, split - 1, next_choose,
+                          _get_average(pivot, smallest)))
 
 
 def sort_np(keys: np.ndarray, *payloads: np.ndarray, ascending: bool = True,
@@ -153,18 +168,12 @@ def sort_np(keys: np.ndarray, *payloads: np.ndarray, ascending: bool = True,
     n = u.shape[0]
     umax = np.uint64(np.iinfo(u.dtype).max).astype(u.dtype)
     if n > 1:
-        import sys
-        old = sys.getrecursionlimit()
-        sys.setrecursionlimit(max(old, 20000))
-        try:
-            # initial call: chooseAvg = FALSE (median-of-9 picks the first
-            # pivot) with avg = midpoint of the full type range carried
-            # down (quick_sort.hpp:334-361)
-            _quick_recursion(u, pays, 0, n - 1, False,
-                             _get_average(u.dtype.type(0), umax), umax,
-                             threshold)
-        finally:
-            sys.setrecursionlimit(old)
+        # initial call: chooseAvg = FALSE (median-of-9 picks the first
+        # pivot) with avg = midpoint of the full type range carried
+        # down (quick_sort.hpp:334-361)
+        _quick_recursion(u, pays, 0, n - 1, False,
+                         _get_average(u.dtype.type(0), umax), umax,
+                         threshold)
     keys_out = transforms.from_sortable_np(u, np.asarray(keys).dtype,
                                            ascending)
     return (keys_out, *pays)

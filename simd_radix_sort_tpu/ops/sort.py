@@ -31,16 +31,31 @@ def _check_64bit_ok(dtype):
         )
 
 
-def sort(keys, *payloads, ascending: bool = True, method: str = "auto",
-         stable: bool = False, block_threshold: int | None = None):
+def sort(keys, *payloads, ascending: bool | None = None,
+         method: str | None = None, stable: bool | None = None,
+         block_threshold: int | None = None, digit_bits: int | None = None,
+         config=None):
     """Sort keys with any number of payload streams kept in lock-step.
 
     Equivalent of simd_sort::radix_sort::sort(num, keys, payloads...)
     (/root/reference/radixSort.hpp:1761-1783).  Accepts jax or numpy arrays;
     returns (sorted_keys,) + sorted payload tuple (or just sorted_keys when
     there are no payloads, for convenience).
+
+    `config` (a SortConfig) supplies defaults for every knob — the runtime
+    analogue of the reference's policy templates (sort_methods.hpp:24,100);
+    explicit keyword arguments override it per call.
     """
     from .. import methods  # local import to avoid cycle
+    from ..config import SortConfig
+
+    cfg = config if config is not None else SortConfig()
+    ascending = cfg.ascending if ascending is None else ascending
+    method = cfg.method if method is None else method
+    stable = cfg.stable if stable is None else stable
+    block_threshold = (cfg.block_threshold if block_threshold is None
+                       else block_threshold)
+    digit_bits = cfg.digit_bits if digit_bits is None else digit_bits
 
     # float64 must NEVER live on a TPU device: this stack emulates f64
     # storage lossily (NaN payloads / low mantissa bits are not preserved)
@@ -74,7 +89,8 @@ def sort(keys, *payloads, ascending: bool = True, method: str = "auto",
                         tuple(dt or p.dtype for p, dt in pl), keys.shape[0])
     keys_out, payloads_out = m.run(
         keys, payloads, ascending=ascending, stable=stable,
-        block_threshold=block_threshold, key_dtype=key_dtype)
+        block_threshold=block_threshold, digit_bits=digit_bits,
+        key_dtype=key_dtype)
 
     if key_dtype is not None:
         keys_out = np.asarray(keys_out).view(np.float64)

@@ -102,23 +102,23 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
         valid_all = jax.lax.all_gather(valid, axis).reshape(-1)
         parts_all = [jax.lax.all_gather(p, axis).reshape(-1) for p in parts]
         # invalid (padding) rows must not perturb any group they collide
-        # with: zero contribution under sum, identity under min/max; the
-        # validity bit rides along as one more stream (its identity makes
-        # combine(validity) == 1 iff any contributor was real)
+        # with: zero contribution under sum, the combine's identity element
+        # under min/max.  Validity travels as its OWN stream with its own
+        # max-combine (a group is real iff ANY contributor was valid) — no
+        # in-band sentinel values to decode.
         if combine_agg == "sum":
             parts_all = [jnp.where(valid_all, p, 0) for p in parts_all]
-            vstream = jnp.where(valid_all, 1, 0).astype(jnp.int32)
         else:
             parts_all = [jnp.where(valid_all, p, _identity(p.dtype))
                          for p in parts_all]
-            vstream = jnp.where(valid_all, 1,
-                                _identity(np.dtype(np.int32))).astype(
-                                    jnp.int32)
-        ng2, gk2, (res2,) = hashagg.group_aggregate(
-            gk_all, tuple(parts_all) + (vstream,), aggs=(combine_agg,))
-        totals, vres = res2[:-1], res2[-1]
+        vstream = valid_all.astype(jnp.int32)
+        ng2, gk2, (res2, res_max) = hashagg.group_aggregate(
+            gk_all, tuple(parts_all) + (vstream,),
+            aggs=(combine_agg, "max"))
+        totals = res2[:-1]
+        vres = res_max[-1]  # max of the validity bits per group
         rows = jnp.arange(gk_all.shape[0], dtype=jnp.int32)
-        real = (vres >= 1) & (vres < 2**30) & (rows < ng2)
+        real = (vres == 1) & (rows < ng2)
         cnt, gk_f, *tot_f = filter_op.compact(real, gk2, *totals)
         return ((cnt[None], gk_f[: n_l])
                 + tuple(t[: n_l] for t in tot_f))

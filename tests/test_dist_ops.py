@@ -56,3 +56,42 @@ def test_distributed_top_k():
     assert np.array_equal(pp, pay[order])
     (ks,) = dist_ops.distributed_top_k(keys, k=5, largest=False)
     assert np.array_equal(ks, np.sort(keys)[:5])
+
+
+def test_distributed_aggregate_validity_no_sentinel():
+    """Groups present on only ONE shard must survive the combine (their
+    partial rows collide with padding on every other shard), and values in
+    the old sentinel range (>= 2**30) must aggregate exactly — the validity
+    bit is an explicit stream, not an in-band magic value."""
+    rng = np.random.default_rng(34)
+    n = 8 * 256
+    # skewed keys: key g lives only on shard g (first 8 groups), plus a
+    # common key 99 everywhere
+    shard = np.arange(n) // 256
+    keys = np.where(np.arange(n) % 2 == 0, shard, 99).astype(np.int32)
+    vals = rng.integers(2**30, 2**31 - 1, n, dtype=np.int64)
+    for agg, combine in [("sum", lambda v: v.sum()),
+                         ("max", lambda v: v.max()),
+                         ("min", lambda v: v.min()),
+                         ("count", lambda v: np.int64(len(v)))]:
+        ng, gk, res = dist_ops.distributed_group_aggregate(keys, vals,
+                                                           agg=agg)
+        uniq = np.unique(keys)
+        assert ng == len(uniq)
+        assert np.array_equal(gk, uniq)
+        want = np.array([combine(vals[keys == u]) for u in uniq])
+        assert np.array_equal(np.asarray(res, dtype=np.int64), want), agg
+
+
+def test_distributed_aggregate_count_heavy():
+    """Count-dominated workload: one giant group + many singletons."""
+    n = 8 * 512
+    keys = np.zeros(n, dtype=np.int32)
+    keys[::64] = np.arange(n // 64, dtype=np.int32) + 1
+    vals = np.ones(n, dtype=np.int32)
+    ng, gk, res = dist_ops.distributed_group_aggregate(keys, vals,
+                                                       agg="count")
+    uniq, want = np.unique(keys, return_counts=True)
+    assert ng == len(uniq)
+    assert np.array_equal(gk, uniq)
+    assert np.array_equal(np.asarray(res), want)

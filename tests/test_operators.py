@@ -232,3 +232,34 @@ def test_semi_and_anti_join():
     assert c == 2
     assert np.array_equal(np.asarray(pk)[:c], [9, 1])
     assert np.array_equal(np.asarray(pv)[:c], [90, 10])
+
+
+def test_top_k_64bit_blocked_selection():
+    """64-bit keys use the two-level blocked selection (no full sort):
+    exact results including duplicate-heavy ties across block boundaries."""
+    from simd_radix_sort_tpu.ops import topk
+    rng = np.random.default_rng(23)
+    n = 50_000
+    # duplicate-heavy: many ties straddle the 8192-row blocks
+    keys = rng.integers(0, 64, n, dtype=np.uint64) << np.uint64(32)
+    keys |= rng.integers(0, 16, n, dtype=np.uint64)
+    pay = rng.integers(0, 2**63, n, dtype=np.uint64)
+    for k, largest in [(1, True), (33, True), (500, False), (4000, True)]:
+        out = topk.top_k(jnp.asarray(keys), jnp.asarray(pay), k=k,
+                         largest=largest)
+        kk, pp = np.asarray(out[0]), np.asarray(out[1])
+        # expected order: by key (best first), position-stable within ties
+        order = sorted(range(n),
+                       key=lambda i: (~keys[i] if largest else keys[i], i))
+        order = np.array(order[:k])
+        assert np.array_equal(kk, keys[order]), (k, largest)
+        assert np.array_equal(pp, pay[order]), (k, largest)
+
+
+def test_top_k_64bit_large_k_fallback():
+    from simd_radix_sort_tpu.ops import topk
+    rng = np.random.default_rng(24)
+    keys = rng.integers(0, 2**63, 9000, dtype=np.int64)
+    k = 8000  # 2k >= block size -> single-sort fallback
+    (kk,) = topk.top_k(jnp.asarray(keys), k=k)
+    assert np.array_equal(np.asarray(kk), np.sort(keys)[::-1][:k])

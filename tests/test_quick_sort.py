@@ -67,3 +67,40 @@ def test_quick_tiny(n):
     keys = D.make_keys(n, np.uint8, D.Distribution.UNIFORM, seed=8)
     out = srs.sort(keys, method="quick")
     assert np.array_equal(np.asarray(out), np.sort(keys))
+
+
+def test_median_of_9_reference_positions():
+    """getMedianOf9 (quick_sort.hpp:285-294) spec check: thirds boundaries
+    with per-subinterval midpoints, NOT evenly spaced eighths."""
+    from simd_radix_sort_tpu.ops.quick_sort import _median_of_9
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        left = int(rng.integers(0, 50))
+        right = left + int(rng.integers(16, 400))
+        u = rng.integers(0, 2**32, right + 8, dtype=np.uint64)
+
+        def med(a, b, c):
+            return sorted([a, b, c])[1]
+
+        def med3(l, r):
+            return med(u[l], u[l + (r - l) // 2], u[r])
+
+        lm = left + (right - left) // 3
+        rm = left + 2 * (right - left) // 3
+        want = med(med3(left, lm), med3(lm + 1, rm), med3(rm + 1, right))
+        assert _median_of_9(u, left, right) == want
+
+
+def test_quick_workstack_deep_segments():
+    """Adversarial input that defeats both pivot strategies must not blow a
+    recursion limit (work-stack driver)."""
+    from simd_radix_sort_tpu.ops import quick_sort
+
+    # geometric cascade: every avg-pivot splits off a tiny left piece
+    n = 4096
+    u = (np.uint64(1) << np.arange(n, dtype=np.uint64) % 63)
+    rng = np.random.default_rng(3)
+    rng.shuffle(u)
+    out = quick_sort.sort_np(u.view(np.int64), threshold=2)[0]
+    assert np.array_equal(out, np.sort(u.view(np.int64)))
