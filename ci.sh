@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# CI recipe: native build + full test suite + entry compile checks.
+# The reference's CI surface is its Makefile (reference Makefile:1-28);
+# this is the TPU framework's equivalent one-command gate.
+set -euo pipefail
+cd "$(dirname "$0")"
+
+echo "== native harness build =="
+make -C native
+
+echo "== install check =="
+# --no-build-isolation: CI hosts are offline; setuptools is baked in
+python -m pip install -e . --quiet --no-deps --no-build-isolation
+
+echo "== lint (if ruff available) =="
+if command -v ruff >/dev/null 2>&1; then
+  ruff check simd_radix_sort_tpu tests scripts
+else
+  python -m pyflakes simd_radix_sort_tpu 2>/dev/null || \
+    echo "  (ruff/pyflakes not installed; skipping lint)"
+fi
+
+echo "== unit + matrix tests (8-device virtual CPU mesh) =="
+python -m pytest tests/ -q
+
+echo "== driver entry compile checks =="
+XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "
+import jax; jax.config.update('jax_platforms', 'cpu')
+import __graft_entry__ as g
+fn, args = g.entry()
+out = jax.jit(fn)(*args)
+jax.block_until_ready(out)
+print('entry: OK')
+g.dryrun_multichip(8)
+"
+
+echo "CI: all green"

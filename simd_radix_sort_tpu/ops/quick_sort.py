@@ -12,18 +12,29 @@ TPU-native counterpart of the reference's quicksort variant
     vector reduces.  This is the building block dist_sort's skew handling
     and the filter operator share.
 
-  * `sort(...)` — quickRecursion semantics (quick_sort.hpp:296-332):
-    median-of-9 pivots (quick_sort.hpp:285-294), overflow-safe interval
-    midpoints (`get_average`, quick_sort.hpp:263-268), the 80/20 anti-skew
-    strategy toggle (ratio < 0.2 -> switch pivot rule, quick_sort.hpp:
-    316-319), and constant-range pruning (skip recursion when
-    pivot > smallest / next_val(pivot) < largest, quick_sort.hpp:321-330).
-    Recursion over data-dependent segment boundaries cannot live under one
-    static-shape jit, so the recursion driver runs on the host over carrier
-    arrays (like the reference's call tree runs on the CPU), delegating
-    each partition to vectorized NumPy.  It serves as the differential
-    model for the pivot logic and as the `quick` registry method; the
-    jit-compatible production engines are xla/radix/count.
+  * `sort_arrays(...)` — the DEVICE quicksort engine (the "quick" registry
+    method).  quickRecursion's shape is data-adaptive pivots + partition +
+    comparison base case; the TPU-native form of that is a sampled-splitter
+    multiway partition (one pivot per pass generalizes to C-1 pivots read
+    off an oversampled key sample — the same adaptivity median-of-9 buys
+    the reference, quick_sort.hpp:285-294), a single partition pass that
+    moves rows by bucket id with the stable variadic sort (the only bulk
+    mover near the bandwidth floor on TPU), and a final in-segment sort as
+    the CmpSorter base case.  Pass count is key-width INDEPENDENT — the
+    adaptive win over fixed-digit LSD radix for 64-bit keys (2 passes vs
+    4).  Fully jittable, static shapes.
+
+  * `sort_np(...)` — quickRecursion semantics exactly (quick_sort.hpp:
+    296-332): median-of-9 pivots (quick_sort.hpp:285-294), overflow-safe
+    interval midpoints (`get_average`, quick_sort.hpp:263-268), the 80/20
+    anti-skew strategy toggle (ratio < 0.2 -> switch pivot rule,
+    quick_sort.hpp:316-319), and constant-range pruning (skip recursion
+    when pivot > smallest / next_val(pivot) < largest, quick_sort.hpp:
+    321-330).  Recursion over data-dependent segment boundaries cannot
+    live under one static-shape jit, so this model runs on the host (like
+    the reference's call tree runs on the CPU); it is the differential
+    oracle for the pivot logic and the "quickseq" registry method (the
+    reference's QuickSeq baseline role, sort_methods.hpp:100-167).
 """
 
 from __future__ import annotations
@@ -73,6 +84,159 @@ def partition(keys: jax.Array, payloads, pivot, ascending: bool = True):
     kmin = transforms.keys_from_operands(min_ops, keys.dtype, ascending)[0]
     kmax = transforms.keys_from_operands(max_ops, keys.dtype, ascending)[0]
     return keys_out, tuple(out[1 + len(kops):]), split, kmin, kmax
+
+
+# ---------------------------------------------------------------------------
+# Device quicksort engine (sampled-splitter multiway partition)
+# ---------------------------------------------------------------------------
+
+# Max pivots per partition pass.  255 splitters ~ the reference's pivot
+# adaptivity (median-of-9 oversampling, quick_sort.hpp:285-294) scaled to
+# one vectorized pass; the compare cost is C ops/element on the VPU.
+MAX_BUCKETS = 256
+OVERSAMPLE = 8  # samples per splitter, like classic samplesort
+
+
+def _splitters(kops, num_splitters: int):
+    """Sorted, oversampled key-word splitters (tuple of words, each
+    (num_splitters,)).  Strided sampling is deterministic and cheap; the
+    oversample then quantile-read-off mirrors getMedianOf9's sample-then-
+    median structure at multiway scale."""
+    n = kops[0].shape[0]
+    s = min(n, OVERSAMPLE * (num_splitters + 1))
+    idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5) * (n / s)).astype(
+        jnp.int32)
+    samples = tuple(jnp.take(w, idx) for w in kops)
+    samples = jax.lax.sort(samples, num_keys=len(kops))
+    samples = samples if isinstance(samples, (tuple, list)) else (samples,)
+    spl_idx = ((jnp.arange(1, num_splitters + 1, dtype=jnp.float32))
+               * (s / (num_splitters + 1))).astype(jnp.int32)
+    return tuple(jnp.take(w, spl_idx) for w in samples)
+
+
+def _bucket_ids(kops, spl) -> jax.Array:
+    """bucket[i] = number of splitters <= key[i] (lexicographic on the key
+    words) — exactly monotone in the key order, so a final sort keyed
+    (bucket, key words) equals a sort keyed (key words).  One broadcast
+    compare-and-reduce; XLA fuses the (n, C) intermediate into the sum."""
+    if len(kops) == 2:
+        hi, lo = kops
+        sh, sl = spl[0][None, :], spl[1][None, :]
+        le = ((sh < hi[:, None])
+              | ((sh == hi[:, None]) & (sl <= lo[:, None])))
+    else:
+        (u,) = kops
+        le = spl[0][None, :] <= u[:, None]
+    return jnp.sum(le, axis=1, dtype=jnp.int32).astype(jnp.uint32)
+
+
+# Cleanup block width.  Batched (C, 8192) row sorts are the fastest
+# reorder primitive on this hardware (BENCH_NOTES.md); any key interval of
+# length <= BLOCK/2 is fully contained in a block of one of the two offset
+# phases (offset 0 and BLOCK/2), which is what makes the blocked cleanup
+# exact.
+BLOCK = 8192
+
+
+def sort_arrays(keys: jax.Array, payloads=(), ascending: bool = True,
+                stable: bool = False, block_threshold: int | None = None,
+                key_dtype=None):
+    """Device quicksort engine.  Jittable; returns
+    (keys_sorted, payloads_sorted_tuple).
+
+    Structure (the quickRecursion shape vectorized, see module docstring):
+
+      1. sampled-splitter C-way partition: one stable sort keyed on the
+         u32 bucket id groups every segment contiguously;
+      2. base case: every segment is finished by BATCHED block sorts —
+         phase 0 sorts aligned BLOCK-row blocks, phase 1 sorts the same
+         blocks offset by BLOCK/2.  Any segment of <= BLOCK/2 rows lies
+         entirely inside a block of at least one phase (an interval of
+         length <= B/2 starting at x: x mod B <= B/2 puts it in a phase-0
+         block, otherwise in a phase-1 block), and segments the first
+         phase finished stay sorted and in place through the second, so
+         the result is exact;
+      3. anti-skew fallback (the quickRecursion ratio<0.2 strategy
+         switch, quick_sort.hpp:316-319): when sampling error or extreme
+         duplication makes any segment exceed BLOCK/2, fall back to one
+         full sort keyed (bucket, key words) — always correct, just not
+         blocked.
+    """
+    n = keys.shape[0]
+    thr = block_threshold or 1024
+    kops = transforms.key_operands(keys, ascending, key_dtype)
+    pl_ops = tuple(jnp.asarray(p) for p in payloads)
+    nk = len(kops)
+
+    if n <= max(thr, 2):
+        out = jax.lax.sort(tuple(kops) + pl_ops, num_keys=nk,
+                           is_stable=stable)
+        return _finish(out[:nk], out[nk:], keys, key_dtype, ascending)
+
+    # ---- 1. partition pass ----------------------------------------------
+    # C adapted so segments land near thr rows (cmpSortThreshold role)
+    c = 2
+    while c < MAX_BUCKETS and c * thr < n:
+        c *= 2
+    spl = _splitters(kops, c - 1)
+    b = _bucket_ids(kops, spl)
+    pos = (jnp.arange(n, dtype=jnp.uint32),) if stable else ()
+    moved = jax.lax.sort((b,) + tuple(kops) + pos + pl_ops, num_keys=1,
+                         is_stable=True)
+    b_s = moved[0]
+    streams = moved[1:]  # kops + (pos?) + payloads, bucket-grouped
+
+    # segment sizes from the sorted bucket ids (b_s is non-decreasing)
+    starts = jnp.searchsorted(b_s, jnp.arange(c, dtype=b_s.dtype),
+                              side="left").astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), n, jnp.int32)])
+    max_seg = jnp.max(ends - starts)
+
+    # ---- 2./3. blocked cleanup with anti-skew fallback ------------------
+    n_pad = -(-n // BLOCK) * BLOCK
+    pad = n_pad - n
+    # padding rows carry bucket id C — strictly greater than every real
+    # bucket — and the bucket word LEADS every cleanup sort, so pads sort
+    # to the tail of any block they appear in (no tie with real max-valued
+    # keys is possible) and never cross a block boundary: the valid prefix
+    # stays [0, n).  For real rows the bucket id is monotone in key order,
+    # so (bucket, key words) sorts identically to (key words).
+    b_p = jnp.pad(b_s, (0, pad), constant_values=c)
+    key_sort_words = 1 + nk + (1 if stable else 0)  # b + kops (+pos)
+    padded = (b_p,) + tuple(jnp.pad(s, (0, pad)) for s in streams)
+
+    def blocked(ops):
+        def phase(ops, offset):
+            m = n_pad - BLOCK if offset else n_pad
+            if m <= 0:
+                return ops
+            body = [o[offset: offset + m].reshape(m // BLOCK, BLOCK)
+                    for o in ops]
+            out = jax.lax.sort(tuple(body), dimension=1,
+                               num_keys=key_sort_words, is_stable=False)
+            return tuple(
+                jnp.concatenate([o[:offset], s.reshape(m),
+                                 o[offset + m:]])
+                for o, s in zip(ops, out))
+
+        return phase(phase(ops, 0), BLOCK // 2)
+
+    def fallback(ops):
+        return jax.lax.sort(tuple(ops), num_keys=key_sort_words,
+                            is_stable=False)
+
+    final = jax.lax.cond(max_seg <= BLOCK // 2, blocked, fallback, padded)
+    final = tuple(s[:n] for s in final[1:])  # drop bucket word, padding
+    kops_f = final[:nk]
+    pl_f = final[nk + (1 if stable else 0):]
+    return _finish(kops_f, pl_f, keys, key_dtype, ascending)
+
+
+def _finish(kops, pl_ops, keys, key_dtype, ascending):
+    keys_out = transforms.keys_from_operands(
+        tuple(kops), key_dtype or keys.dtype, ascending,
+        as_bits=key_dtype is not None)
+    return keys_out, tuple(pl_ops)
 
 
 # ---------------------------------------------------------------------------

@@ -45,12 +45,14 @@ def test_partition_device(dtype, ascending):
                                   D.Distribution.ZERO_ONE,
                                   D.Distribution.SORTED,
                                   D.Distribution.REVERSE_SORTED])
-def test_quick_method_matrix(dtype, dist):
-    """The constant-range pruning must kill the O(n^2) constant-input
-    pathology (quick_sort.hpp:321-330), so Zero/ZeroOne run fast here."""
+@pytest.mark.parametrize("method", ["quick", "quickseq"])
+def test_quick_method_matrix(dtype, dist, method):
+    """Device engine and host model across distributions; for quickseq the
+    constant-range pruning must kill the O(n^2) constant-input pathology
+    (quick_sort.hpp:321-330), so Zero/ZeroOne run fast here."""
     keys = D.make_keys(20_000, dtype, dist, seed=4)
     (pay,) = D.make_payloads(keys, [np.uint64], "fast")
-    k, p = srs.sort(keys, pay, method="quick")
+    k, p = srs.sort(keys, pay, method=method)
     assert D.check_data(np.asarray(k), (np.asarray(p),), keys) == ""
 
 
@@ -60,12 +62,16 @@ def test_quick_descending_with_payload():
     k, p = srs.sort(keys, pay, ascending=False, method="quick")
     assert D.check_data(np.asarray(k), (np.asarray(p),), keys,
                         ascending=False) == ""
+    k, p = srs.sort(keys, pay, ascending=False, method="quickseq")
+    assert D.check_data(np.asarray(k), (np.asarray(p),), keys,
+                        ascending=False) == ""
 
 
 @pytest.mark.parametrize("n", [0, 1, 2, 15, 16, 17])
-def test_quick_tiny(n):
+@pytest.mark.parametrize("method", ["quick", "quickseq"])
+def test_quick_tiny(n, method):
     keys = D.make_keys(n, np.uint8, D.Distribution.UNIFORM, seed=8)
-    out = srs.sort(keys, method="quick")
+    out = srs.sort(keys, method=method)
     assert np.array_equal(np.asarray(out), np.sort(keys))
 
 
