@@ -1,21 +1,32 @@
 """Thesis-style benchmark suite driver.
 
-Functional equivalent of /root/reference/src/perf-thesis.cpp: runs the
-per-distribution method tables, scaling sweeps, and tuning-knob sweeps,
-writing reference-format .dat tables to ./bench_out/.
+Functional equivalent of /root/reference/src/perf-thesis.cpp (the ~150
+std::function experiment entries, perf-thesis.cpp:45-226) plus the
+quicksort-focused study of src/perf-paper.cpp:22-115: per-distribution
+method tables across all 8 input distributions, n-scaling sweeps,
+tuning-knob sweeps (radix digit width + quicksort threshold), pairwise
+payload-factor speedups, combined-layout studies, and small-n tables where
+the rank block sorter participates.  Writes reference-format .dat tables
+to ./bench_out/.
 
-Scaled-down defaults (the full reference suite is ~150 experiments); pass
---full for the complete grid.  Usage:
+Scaled-down defaults; pass --full for the complete grid (~1-2 h through
+the axon tunnel — keep the TPU otherwise idle).  Usage:
 
-    python scripts/perf_suite.py [--full] [--n 262144]
+    python scripts/perf_suite.py [--full] [--n 262144] [--resume]
 """
 
 import argparse
+import os
 import sys
 
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: axon remote compiles take 20-60 s per shape,
+# one line makes re-runs ~free (measured 16.2 s -> 0.1 s)
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 
@@ -25,8 +36,9 @@ from simd_radix_sort_tpu import perf  # noqa: E402
 from simd_radix_sort_tpu.utils import data as D  # noqa: E402
 
 # device engines + host baselines (seq/torch play the STLSort/IPP role,
-# sort_methods.hpp:246-347)
-METHODS = ["xla", "radix", "count", "seq", "torch"]
+# sort_methods.hpp:246-347).  rank is size-capped and appears in the
+# small-n tables below.
+METHODS = ["xla", "radix", "count", "quick", "seq", "torch"]
 
 TYPE_COMBOS = [
     (np.int32, ()),
@@ -42,8 +54,19 @@ TYPE_COMBOS = [
     (np.uint32, ()),
 ]
 
+# the reference's 4 core distributions ...
 DISTS = [D.Distribution.UNIFORM, D.Distribution.GAUSSIAN,
          D.Distribution.ZERO, D.Distribution.ZERO_ONE]
+# ... plus the sorted families (data.hpp:64-73; --full only)
+DISTS_SORTED = [D.Distribution.SORTED, D.Distribution.REVERSE_SORTED,
+                D.Distribution.ALMOST_SORTED,
+                D.Distribution.ALMOST_REVERSE_SORTED]
+
+# quicksort-focused study (perf-paper.cpp:22-115): quick engine vs its
+# host differential model vs the general engines
+QUICK_METHODS = ["quick", "quickseq", "xla", "torch"]
+QUICK_COMBOS = [(np.int32, ()), (np.int32, (np.int32,)),
+                (np.float64, (np.float64,))]
 
 
 def main():
@@ -55,13 +78,12 @@ def main():
     args = ap.parse_args()
 
     combos = TYPE_COMBOS if args.full else TYPE_COMBOS[:4]
-    dists = DISTS if args.full else DISTS[:2]
-
-    import os
+    dists = (DISTS + DISTS_SORTED) if args.full else DISTS[:2]
 
     def done(name):
         return args.resume and os.path.exists(os.path.join(perf.OUT_DIR, name))
 
+    # ---- per-distribution method tables (perf-thesis.cpp:120-222) -------
     for k, ps in combos:
         for dist in dists:
             name = perf.table_name(k, ps, dist, args.n)
@@ -73,20 +95,86 @@ def main():
                                   warmups=1)
             print("wrote", path, flush=True)
 
-    # scaling sweep (perf-thesis.cpp's perfTestNum family)
-    path = perf.perf_test_num(METHODS, np.int32, (np.int32,),
-                              max_num=1 << (22 if args.full else 18),
-                              reps=3, warmups=1)
-    print("wrote", path, flush=True)
+    # ---- small-n tables with the rank block sorter ----------------------
+    for k, ps in ([(np.int32, (np.int32,)), (np.uint64, (np.uint64,))]
+                  if args.full else [(np.int32, (np.int32,))]):
+        name = perf.table_name(k, ps, D.Distribution.UNIFORM, 4096)
+        if not done(name):
+            path = perf.perf_test(METHODS + ["rank"], 4096, k, ps,
+                                  D.Distribution.UNIFORM, reps=64, warmups=2)
+            print("wrote", path, flush=True)
 
-    # tuning-knob sweep (threshold-sweep equivalent)
-    path = perf.perf_test_block(args.n, np.int32, (np.int32,))
-    print("wrote", path, flush=True)
+    # ---- scaling sweeps (perfTestNum family) ----------------------------
+    sweeps = [(np.int32, (np.int32,)), (np.uint64, (np.uint64,)),
+              (np.uint8, ())] if args.full else [(np.int32, (np.int32,))]
+    for k, ps in sweeps:
+        nm = ("tpe-" + "-".join([perf.common.type_name(k)]
+                                + [perf.common.type_name(p) for p in ps]
+                                + [D.Distribution.UNIFORM.value]) + ".dat")
+        if done(nm):
+            print("skip", nm, flush=True)
+            continue
+        meths = [m for m in METHODS if m not in ("seq", "torch")] \
+            if args.full else METHODS
+        # reps MUST follow the pipelined protocol (reps=None): at fixed
+        # small rep counts the ~1-2 ms dispatch floor dominates every
+        # large-n cell (measured 51 vs 1.2 ns/elem at 2^18 with reps=3)
+        path = perf.perf_test_num(meths, k, ps,
+                                  max_num=1 << (22 if args.full else 18),
+                                  reps=None if args.full else 3,
+                                  warmups=1)
+        print("wrote", path, flush=True)
 
-    # pairwise speedup across payload-size factors (perfTestSpeedupAllKP)
-    path = perf.perf_test_speedup("xla", "radix", args.n,
-                                  reps=None if args.full else 3, warmups=1)
-    print("wrote", path, flush=True)
+    # ---- tuning-knob sweeps ---------------------------------------------
+    for k, ps in ([(np.int32, (np.int32,)), (np.uint64, (np.uint64,)),
+                   (np.uint8, ())] if args.full
+                  else [(np.int32, (np.int32,))]):
+        nm = ("digits-" + "-".join([perf.common.type_name(k)]
+                                   + [perf.common.type_name(p) for p in ps]
+                                   + [D.Distribution.UNIFORM.value,
+                                      str(args.n)]) + ".dat")
+        if done(nm):
+            print("skip", nm, flush=True)
+        else:
+            path = perf.perf_test_block(args.n, k, ps)
+            print("wrote", path, flush=True)
+
+    # quicksort threshold sweep (perfTestThresh / perf-paper.cpp role)
+    for k, ps in (QUICK_COMBOS if args.full
+                  else [(np.int32, (np.int32,))]):
+        nm = ("thresh-quick-"
+              + "-".join([perf.common.type_name(k)]
+                         + [perf.common.type_name(p) for p in ps]
+                         + [D.Distribution.UNIFORM.value,
+                            str(args.n)]) + ".dat")
+        if done(nm):
+            print("skip", nm, flush=True)
+        else:
+            path = perf.perf_test_thresh(args.n, k, ps)
+            print("wrote", path, flush=True)
+
+    # ---- quicksort study (perf-paper.cpp:22-115) ------------------------
+    if args.full:
+        for k, ps in QUICK_COMBOS:
+            for dist in DISTS:
+                name = "quickstudy-" + perf.table_name(k, ps, dist, args.n)
+                if done(name):
+                    print("skip", name, flush=True)
+                    continue
+                path = perf.perf_test(QUICK_METHODS, args.n, k, ps, dist,
+                                      reps=None, warmups=1, out_name=name)
+                print("wrote", path, flush=True)
+
+    # ---- pairwise speedup across payload-size factors -------------------
+    if not done(f"speedup-xla-vs-radix-Uniform-{args.n}.dat"):
+        path = perf.perf_test_speedup("xla", "radix", args.n,
+                                      reps=None if args.full else 3,
+                                      warmups=1)
+        print("wrote", path, flush=True)
+    if args.full and not done(f"speedup-quick-vs-radix-Uniform-{args.n}.dat"):
+        path = perf.perf_test_speedup("quick", "radix", args.n,
+                                      reps=None, warmups=1)
+        print("wrote", path, flush=True)
 
 
 if __name__ == "__main__":

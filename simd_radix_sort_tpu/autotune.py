@@ -28,7 +28,7 @@ _CACHE_PATH = os.environ.get(
 _cache: dict[str, str] | None = None
 
 # host baselines are never candidates: they exist for differential testing
-_CANDIDATES = ("xla", "radix", "count", "rank")
+_CANDIDATES = ("xla", "radix", "count", "rank", "quick")
 
 
 def _key(key_dtype, payload_dtypes, n: int) -> str:

@@ -15,8 +15,10 @@ Methods:
                adaptive small-range integer keys
   * "rank"   — single-block vectorized rank sort (cmp_sorters.hpp
                equivalent, MXU permutation apply)
-  * "quick"  — quicksort with the reference's pivot semantics (host
-               recursion; device partition primitive in ops/quick_sort)
+  * "quick"  — DEVICE quicksort: sampled-splitter multiway partition +
+               batched blocked cleanup (ops/quick_sort.sort_arrays)
+  * "quickseq" — host model with the reference's exact pivot/recursion
+               semantics (QuickSeq role; differential oracle)
   * "torch"  — torch.sort host baseline (external-comparison role)
   * "seq"    — host NumPy stable-argsort model (BitSorterSequential
                analogue; differential baseline)
@@ -105,7 +107,16 @@ def _run_count(keys, payloads, *, ascending=True, stable=False,
     return counting.sort_keys(keys, ascending=ascending, key_dtype=key_dtype)
 
 
-def _run_quick(keys, payloads, **kw):
+def _run_quick(keys, payloads, *, ascending=True, stable=False,
+               block_threshold=None, digit_bits=None, key_dtype=None):
+    from .ops import quick_sort
+    return quick_sort.sort_arrays(keys, payloads, ascending=ascending,
+                                  stable=stable,
+                                  block_threshold=block_threshold,
+                                  key_dtype=key_dtype)
+
+
+def _run_quickseq(keys, payloads, **kw):
     from .ops import quick_sort
     return _host_method(quick_sort.sort_np,
                         takes_threshold=True)(keys, payloads, **kw)
@@ -134,10 +145,34 @@ register(SortMethod("xla", _run_xla, _supports_all))
 register(SortMethod("radix", _run_radix, _supports_all))
 register(SortMethod("rank", _run_rank, _rank_supports))
 register(SortMethod("count", _run_count, _count_supports))
-register(SortMethod("quick", _run_quick, _supports_all, has_threshold=True,
-                    device=False))
+register(SortMethod("quick", _run_quick, _supports_all, has_threshold=True))
+# QuickSeq analogue (sort_methods.hpp:100-167): the host differential model
+# with the reference's exact pivot/recursion semantics
+register(SortMethod("quickseq", _run_quickseq, _supports_all,
+                    has_threshold=True, device=False))
 register(SortMethod("torch", _run_torch, _supports_all, device=False))
 register(SortMethod("seq", _run_seq, _supports_all, device=False))
+
+
+# Measured engine crossovers for the static "auto" policy (round-2
+# re-measured tables, one consistent idle epoch; regression-tested by
+# tests/test_auto_policy.py against the committed .dat files):
+#
+#   * 1-byte keys run a FIXED 256-bucket counting sort (no runtime
+#     fallback): the clean scaling sweep (tpe-uint8-Uniform.dat) crosses
+#     at ~2^17 (count 1.76 vs xla 2.23 ns/elem at 131072; 0.61 vs 1.48 at
+#     2^20) — at 2^18 the two engines tie within measurement noise across
+#     distributions (uint8-*-262144.dat: ratios 0.67x-1.41x), so the
+#     sweep's crossover decides.
+#   * 2-4-byte integer keys use the ADAPTIVE engine (runtime range check
+#     with in-jit comparison-sort fallback): at 2^18 the fallback's
+#     min/max pass plus block padding leaves count 1.2-1.6x behind xla on
+#     every distribution (int32/uint32/int16-*-262144.dat), so the
+#     comparison sort holds until counting's flat cost wins at large n
+#     (tiny-range counting measured 2.15 Gelem/s at 1e8 in round 1 vs
+#     ~0.7 G for the full sort).
+COUNT_CROSSOVER_N_1BYTE = 1 << 17
+COUNT_MIN_N_ADAPTIVE = 1 << 21
 
 
 def resolve(method: str, key_dtype, payload_dtypes: Sequence, n: int | None
@@ -146,16 +181,13 @@ def resolve(method: str, key_dtype, payload_dtypes: Sequence, n: int | None
     (mirrors how the reference harness picks per-workload configurations,
     backed by on-chip measurements — see bench_notes in perf.py)."""
     if method == "auto":
-        # keys-only narrow/adaptive-range integer keys: counting sort runs
-        # near memory bandwidth (its >K_MAX_RANGE fallback is the xla path,
-        # chosen inside jit via lax.cond, so picking it is always safe for
-        # large inputs).  Below ~2^15 rows its fixed block padding dominates
-        # and the comparison sort wins outright.
-        if ((n is None or n >= (1 << 15))
-                and _count_supports(np.dtype(key_dtype),
-                                    tuple(np.dtype(d) for d in payload_dtypes),
-                                    n)):
-            return REGISTRY["count"]
+        kdt = np.dtype(key_dtype)
+        if _count_supports(kdt, tuple(np.dtype(d) for d in payload_dtypes),
+                           n):
+            floor = (COUNT_CROSSOVER_N_1BYTE if kdt.itemsize == 1
+                     else COUNT_MIN_N_ADAPTIVE)
+            if n is None or n >= floor:
+                return REGISTRY["count"]
         return REGISTRY["xla"]
     if method == "autotune":
         # measure-once-and-cache selection (the reference's empirical

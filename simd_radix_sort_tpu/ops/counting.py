@@ -44,6 +44,13 @@ from ..utils import transforms
 # (element, bucket); at K=1024 that is ~2 cycles/element (~490 Melem/s on
 # v5e), still ~2x the comparison sort — past this the comparison sort wins.
 K_MAX_RANGE = 1024
+# The K_MAX_RANGE branch has a flat ~2.5 ns/elem cost while the comparison
+# sort grows ~log^2 n from ~1 ns/elem at 2^18 (fresh round-2 tables:
+# int32-Gaussian-262144.dat count 2.54 vs xla 0.94 — the 1024-bucket
+# branch must NOT engage at the reference's n).  Below this static size
+# the adaptive path skips straight from tiny-range to the comparison
+# fallback.
+SMALL_MIN_N = 1 << 22
 # Near-constant fast path (Zero / ZeroOne / small enums): 16 buckets is
 # ~0.03 cycles/element.
 K_TINY_RANGE = 16
@@ -139,11 +146,13 @@ def sort_keys(keys: jax.Array, ascending: bool = True, key_dtype=None):
             return jax.lax.sort((u,), num_keys=1)[0]
 
         r32 = rng.astype(jnp.uint32)
-        out = jax.lax.cond(
-            r32 < jnp.uint32(K_TINY_RANGE), tiny,
-            lambda _: jax.lax.cond(r32 < jnp.uint32(K_MAX_RANGE),
-                                   small, big, None),
-            None)
+        # n is static: the K_MAX_RANGE branch only exists in the program
+        # when the row count is large enough for flat-cost counting to
+        # beat the comparison sort (see SMALL_MIN_N)
+        wide = (lambda _: jax.lax.cond(r32 < jnp.uint32(K_MAX_RANGE),
+                                       small, big, None)) \
+            if keys.shape[0] >= SMALL_MIN_N else big
+        out = jax.lax.cond(r32 < jnp.uint32(K_TINY_RANGE), tiny, wide, None)
 
     keys_out = transforms.keys_from_operands(
         (out,), key_dtype or keys.dtype, ascending, as_bits=key_dtype is not None)

@@ -99,6 +99,70 @@ def inner_join_expand(probe_keys: jax.Array, probe_payloads,
     return total, probe_idx_safe, out_probe_keys, out_probe_pays, out_build_pays
 
 
+def merge_join_indices(probe_ops, n_probe_valid, build_ops, n_build_valid,
+                       capacity: int):
+    """Inner-join row matching over PADDED transformed-key operand tuples
+    (lexicographic multi-word keys — works for 64-bit (hi, lo) carriers
+    where a single-word binary search cannot).
+
+    probe_ops / build_ops are tuples of same-length uint words; rows at
+    index >= n_*_valid are buffer padding (contents ignored).  Returns
+    (total, probe_idx, build_idx): output slot t joins probe row
+    probe_idx[t] with build row build_idx[t]; slots past `total` carry
+    clipped padding indices.  total may exceed `capacity` (truncated
+    output) — callers treat that as overflow and retry bigger.
+
+    Scatter-free sort-merge: one variadic stable sort of both tables'
+    rows keyed (invalid, key words, side) groups each key's build rows
+    immediately before its probe rows; per-run build counts come from one
+    cumulative sum, and output slots map back to (probe, build) pairs with
+    the same rank arithmetic as inner_join_expand (this file) — the
+    distributed join's local step (SURVEY.md section 7 step 5 scaled out).
+    """
+    n_p = probe_ops[0].shape[0]
+    n_b = build_ops[0].shape[0]
+    m = n_b + n_p
+    iota_p = jnp.arange(n_p, dtype=jnp.int32)
+    iota_b = jnp.arange(n_b, dtype=jnp.int32)
+    inval = jnp.concatenate([(iota_b >= n_build_valid),
+                             (iota_p >= n_probe_valid)]).astype(jnp.uint8)
+    side = jnp.concatenate([jnp.zeros(n_b, jnp.uint8),
+                            jnp.ones(n_p, jnp.uint8)])
+    words = tuple(jnp.concatenate([bw, pw])
+                  for bw, pw in zip(build_ops, probe_ops))
+    idx = jnp.concatenate([iota_b, iota_p])
+
+    nw = len(words)
+    out = jax.lax.sort((inval,) + words + (side, idx),
+                       num_keys=2 + nw, is_stable=True)
+    s_inval, s_words, s_side, s_idx = (out[0], out[1:1 + nw],
+                                       out[1 + nw], out[2 + nw])
+
+    is_build = ((s_side == 0) & (s_inval == 0)).astype(jnp.int32)
+    is_probe = (s_side == 1) & (s_inval == 0)
+    # key-run starts (invalid rows form their own runs at the tail)
+    neq = jnp.zeros(m, jnp.bool_).at[0].set(True)
+    for w in (s_inval,) + s_words:
+        neq = neq | (w != jnp.roll(w, 1)).at[0].set(True)
+    pos = jnp.arange(m, dtype=jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(neq, pos, 0))
+    cb = jnp.cumsum(is_build, dtype=jnp.int32)  # inclusive build count
+    cb_before_run = (jnp.take(cb, run_start)
+                     - jnp.take(is_build, run_start))
+    # builds sort before probes within a run, so every build of the run
+    # precedes any probe row i of the run: matches(i) = cb[i] - before
+    count = jnp.where(is_probe, cb - cb_before_run, 0)
+
+    cum = jnp.cumsum(count, dtype=jnp.int32)
+    total = cum[-1] if m else jnp.int32(0)
+    t = jnp.arange(capacity, dtype=jnp.int32)
+    mpos = jnp.clip(jnp.searchsorted(cum, t, side="right").astype(jnp.int32),
+                    0, max(m - 1, 0))
+    offset = t - (jnp.take(cum, mpos) - jnp.take(count, mpos))
+    bpos = jnp.clip(jnp.take(run_start, mpos) + offset, 0, max(m - 1, 0))
+    return total, jnp.take(s_idx, mpos), jnp.take(s_idx, bpos)
+
+
 def semi_join(probe_keys, probe_payloads, build_keys, anti: bool = False):
     """Rows of the probe table whose key does (semi) or does not (anti)
     appear in the build table — lookup + stable compaction.

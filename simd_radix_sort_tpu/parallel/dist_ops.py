@@ -27,6 +27,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import filter as filter_op
 from ..ops import hashagg
+from ..ops import hashjoin
+from ..utils import transforms
+from . import dist_sort
 from .dist_sort import DEFAULT_AXIS, make_mesh
 
 
@@ -141,6 +144,125 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
         s, c = tot
         return ng, gk_out, s / c.astype(np.float64)
     return ng, gk_out, tot[0]
+
+
+def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
+                     mesh: Mesh | None = None, axis: str = DEFAULT_AXIS,
+                     capacity_factor: float = 2.0,
+                     out_rows_per_device: int | None = None,
+                     samples_per_device: int = 128,
+                     use_ragged: bool | None = None):
+    """Mesh inner join: range-partition BOTH tables by shared splitters,
+    ragged-exchange each side over ICI, sort-merge join locally.
+
+    The splitter domain is the key alone (no position tie-break, unlike
+    the distributed sort): equal keys MUST co-locate on one device so
+    every match pair meets.  Splitters are sampled from both tables, so a
+    key range that is heavy on either side gets boundaries.  This is the
+    natural mesh join given the splitter sort already range-partitions
+    keys (round-1 VERDICT item 1 / SURVEY.md section 7 step 5 scaled out).
+
+    Returns (counts, out_keys, out_probe_payloads, out_build_payloads,
+    overflow): per-device padded outputs — device p holds matches for the
+    p-th key range, `counts[p]` valid rows each, packed at the front.
+    overflow flags either a receive-buffer or an output-capacity overrun
+    (rerun with a larger factor / out_rows_per_device).  Keys of both
+    tables must share one dtype.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    num_p = mesh.shape[axis]
+    use_ragged = dist_sort.default_use_ragged(use_ragged)
+    probe_keys = np.asarray(probe_keys)
+    build_keys = np.asarray(build_keys)
+    if probe_keys.dtype != build_keys.dtype:
+        raise ValueError("probe and build key dtypes must match")
+    for name, arr in (("probe", probe_keys), ("build", build_keys)):
+        if arr.shape[0] % num_p:
+            raise ValueError(f"{name} rows {arr.shape[0]} not divisible by "
+                             f"mesh size {num_p}")
+    n_lp = probe_keys.shape[0] // num_p
+    n_lb = build_keys.shape[0] // num_p
+    cap_p = int(capacity_factor * n_lp)
+    cap_b = int(capacity_factor * n_lb)
+    cap_out = out_rows_per_device or 2 * (n_lp + n_lb)
+
+    p_dts = [np.dtype(np.asarray(p).dtype) for p in probe_payloads]
+    b_dts = [np.dtype(np.asarray(p).dtype) for p in build_payloads]
+
+    sharding = NamedSharding(mesh, P(axis))
+    put = lambda x: jax.device_put(jnp.asarray(np.asarray(x)), sharding)
+    pk, bk = put(probe_keys), put(build_keys)
+    pp = tuple(put(p) for p in probe_payloads)
+    bp = tuple(put(p) for p in build_payloads)
+
+    def local(pk_l, bk_l, *pays):
+        pp_l = pays[:len(p_dts)]
+        bp_l = pays[len(p_dts):]
+        kops_p = transforms.key_operands(pk_l, True)
+        kops_b = transforms.key_operands(bk_l, True)
+        nk = len(kops_p)
+        pp_ops = dist_sort.split_payload_streams(pp_l, p_dts)
+        bp_ops = dist_sort.split_payload_streams(bp_l, b_dts)
+
+        # local sort each side by key (buckets become contiguous runs)
+        sp = jax.lax.sort(tuple(kops_p) + tuple(pp_ops), num_keys=nk)
+        sb = jax.lax.sort(tuple(kops_b) + tuple(bp_ops), num_keys=nk)
+        dom_p, pp_s = sp[:nk], sp[nk:]
+        dom_b, bp_s = sb[:nk], sb[nk:]
+
+        # shared splitters from BOTH tables' samples (key domain only:
+        # equal keys co-locate)
+        dom_cat = tuple(jnp.concatenate([a, b])
+                        for a, b in zip(dom_p, dom_b))
+        splitters = dist_sort.gather_splitters(dom_cat, axis, num_p - 1,
+                                               samples_per_device)
+
+        recv_p, tot_p, ov_p = dist_sort.exchange_by_bounds(
+            tuple(dom_p) + tuple(pp_s),
+            dist_sort.lex_bounds(dom_p, splitters), axis, cap_p, use_ragged)
+        recv_b, tot_b, ov_b = dist_sort.exchange_by_bounds(
+            tuple(dom_b) + tuple(bp_s),
+            dist_sort.lex_bounds(dom_b, splitters), axis, cap_b, use_ragged)
+
+        total, pidx, bidx = hashjoin.merge_join_indices(
+            tuple(recv_p[:nk]), tot_p, tuple(recv_b[:nk]), tot_b, cap_out)
+        count = jnp.minimum(total, cap_out).astype(jnp.int32)
+        valid = jnp.arange(cap_out, dtype=jnp.int32) < count
+        ov = (ov_p + ov_b
+              + jax.lax.pmax((total > cap_out).astype(jnp.int32), axis))
+
+        out_kops = tuple(jnp.where(valid, jnp.take(w, pidx), 0)
+                         for w in recv_p[:nk])
+        keys_out = transforms.keys_from_operands(out_kops, pk_l.dtype, True)
+        out_pp = tuple(jnp.where(valid, jnp.take(s, pidx), 0)
+                       for s in recv_p[nk:])
+        out_bp = tuple(jnp.where(valid, jnp.take(s, bidx), 0)
+                       for s in recv_b[nk:])
+        out_pp = dist_sort.merge_payload_streams(out_pp, p_dts)
+        out_bp = dist_sort.merge_payload_streams(out_bp, b_dts)
+        return (count[None], keys_out) + out_pp + out_bp + (ov[None],)
+
+    n_out = 2 + len(p_dts) + len(b_dts) + 1
+    shard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) * (2 + len(p_dts) + len(b_dts)),
+        out_specs=(P(axis),) * n_out)
+    out = jax.jit(shard)(pk, bk, *pp, *bp)
+    counts, keys_out = out[0], out[1]
+    out_pp = tuple(out[2: 2 + len(p_dts)])
+    out_bp = tuple(out[2 + len(p_dts): 2 + len(p_dts) + len(b_dts)])
+    overflow = out[-1]
+    return counts, keys_out, out_pp, out_bp, overflow
+
+
+def gather_joined(counts, keys, probe_payloads=(), build_payloads=()):
+    """Host-side: concatenate each device's valid join-output prefix."""
+    from .dist_sort import gather_result
+    k, pays = gather_result(keys, tuple(probe_payloads)
+                            + tuple(build_payloads), counts)
+    npp = len(probe_payloads)
+    return k, tuple(pays[:npp]), tuple(pays[npp:])
 
 
 def distributed_top_k(keys, *payloads, k: int, largest: bool = True,

@@ -74,6 +74,171 @@ def _sortable_with_tiebreak(u: jax.Array, axis_index, n_local: int,
     return wide | (pos & jnp.uint64(0xFFFFFFFF))
 
 
+def default_use_ragged(use_ragged: bool | None) -> bool:
+    if use_ragged is None:
+        # XLA:CPU has no ragged-all-to-all thunk; TPU/GPU do.
+        return jax.default_backend() != "cpu"
+    return use_ragged
+
+
+def exchange_by_bounds(streams, bounds, axis: str, cap_recv: int,
+                       use_ragged: bool, n_valid=None):
+    """Bucketed all-to-all of locally-contiguous buckets (the shared
+    exchange core of the distributed sort, join, and hierarchical sort).
+
+    `streams` are per-device arrays of n_local rows whose bucket-p rows
+    form the contiguous run [bounds[p-1], bounds[p]) (bounds has P-1
+    entries; run 0 starts at 0, run P-1 ends at n_local).  Bucket p of
+    every device is delivered to device p, packed source-major into a
+    cap_recv-row buffer per stream.
+
+    Returns (recv_streams, total_recv, overflow): rows past total_recv are
+    buffer padding; overflow is the pmax'd flag that some device's buckets
+    exceeded cap_recv (its results are then truncated).
+
+    On TPU the transfer is one `jax.lax.ragged_all_to_all` per stream with
+    the locally sorted shard itself as the send operand — zero send-side
+    copies (SURVEY.md section 2.11 "TPU-native plan"); backends without a
+    ragged thunk (XLA:CPU) use a dense all_gather emulation with the same
+    math.  Must be called inside shard_map over `axis`.
+    """
+    my = jax.lax.axis_index(axis)
+    num_p = jax.lax.axis_size(axis)
+    n_local = streams[0].shape[0]
+    # rows past n_valid (buffer padding from an earlier exchange) are
+    # never shipped: bounds clip to it and the last bucket ends there
+    end_last = (jnp.int32(n_local) if n_valid is None
+                else jnp.minimum(jnp.int32(n_valid), n_local))
+    bounds = jnp.minimum(bounds, end_last)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), bounds])
+    ends = jnp.concatenate([bounds, end_last[None]])
+    lens = ends - starts  # send_sizes (P,)
+
+    L = jax.lax.all_gather(lens, axis)          # L[src, dst]
+    recv_sizes = L[:, my]                       # (P,) from each src
+    total_raw = jnp.sum(recv_sizes)
+    overflow = total_raw > cap_recv
+    total_recv = jnp.minimum(total_raw, cap_recv)
+    # where my chunk lands on each destination: after all earlier srcs
+    csum_dst = jnp.cumsum(L, axis=0) - L        # exclusive over src
+    output_offsets = csum_dst[my, :]            # (P,) for my sends
+    # never write out of the destination buffer even when overflowing
+    # (results are then incomplete and the overflow flag is set)
+    allowed = jnp.clip(cap_recv - output_offsets, 0, None)
+    lens = jnp.minimum(lens, allowed)
+    output_offsets = jnp.clip(output_offsets, 0, max(cap_recv - 1, 0))
+
+    if use_ragged:
+        def exchange(stream):
+            out_buf = jnp.zeros((cap_recv,), stream.dtype)
+            return jax.lax.ragged_all_to_all(
+                stream, out_buf, starts, lens, output_offsets, recv_sizes,
+                axis_name=axis)
+    else:
+        # Dense emulation for backends without ragged-all-to-all
+        # (XLA:CPU): all_gather everything, assemble my ragged slice
+        # locally.  Same math, O(P) extra traffic — test/debug path only.
+        starts_all = jax.lax.all_gather(starts, axis)   # (P, P)[src, dst]
+        col_excl = csum_dst[:, my]                      # (P,) by src
+        col_incl = col_excl + recv_sizes
+        t = jnp.arange(cap_recv, dtype=jnp.int32)
+        q_t = jnp.searchsorted(col_incl, t, side="right").astype(jnp.int32)
+        q_safe = jnp.clip(q_t, 0, num_p - 1)
+        off = t - jnp.take(col_excl, q_safe)
+        src_idx = jnp.clip(jnp.take(starts_all[:, my], q_safe) + off,
+                           0, n_local - 1)
+
+        def exchange(stream):
+            all_ops = jax.lax.all_gather(stream, axis)  # (P, n_local)
+            return all_ops[q_safe, src_idx]
+
+    recv = [exchange(s) for s in streams]
+    overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis)
+    return recv, total_recv, overflow
+
+
+def lex_bounds(domain, splitters):
+    """Bucket boundaries of P-1 splitters in a locally sorted multi-word
+    lexicographic domain: bounds[p] = number of local rows strictly below
+    splitter p (each bucket p is then [bounds[p-1], bounds[p]))."""
+    if len(domain) == 1:
+        return jnp.searchsorted(domain[0], splitters[0],
+                                side="left").astype(jnp.int32)
+    cols = tuple(w[:, None] for w in domain)
+    rows = tuple(w[None, :] for w in splitters)
+    less = jnp.zeros((domain[0].shape[0], splitters[0].shape[0]), jnp.bool_)
+    eq = jnp.ones_like(less)
+    for c, r in zip(cols, rows):
+        less = less | (eq & (c < r))
+        eq = eq & (c == r)
+    return jnp.sum(less, axis=0, dtype=jnp.int32)
+
+
+def gather_splitters(domain, axis: str, num_splitters: int,
+                     samples_per_shard: int, n_valid=None):
+    """Evenly sample the local sorted domain, all_gather and sort the
+    samples, read splitters off the quantiles.  Returns a tuple of words,
+    each (num_splitters,).
+
+    `n_valid` (traced scalar) restricts sampling to the valid prefix of a
+    padded buffer — without it, buffer padding dilutes the sample and the
+    quantile splitters collapse toward the padding sentinel (measured:
+    87% padding sent every row to device 0)."""
+    n_local = domain[0].shape[0]
+    s = min(n_local, samples_per_shard) or 1
+    if n_valid is None:
+        idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5)
+               * (n_local / s)).astype(jnp.int32)
+    else:
+        nv = jnp.maximum(n_valid, 1).astype(jnp.float32)
+        idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5)
+               * (nv / s)).astype(jnp.int32)
+        idx = jnp.minimum(idx, jnp.maximum(n_valid - 1, 0))
+    all_samples = [jax.lax.all_gather(jnp.take(w, idx), axis).reshape(-1)
+                   for w in domain]
+    flat = jax.lax.sort(tuple(all_samples), num_keys=len(domain))
+    flat = flat if isinstance(flat, (tuple, list)) else (flat,)
+    total = all_samples[0].shape[0]
+    spl_idx = ((jnp.arange(1, num_splitters + 1, dtype=jnp.float32))
+               * (total / (num_splitters + 1))).astype(jnp.int32)
+    return tuple(jnp.take(w, spl_idx) for w in flat)
+
+
+def split_payload_streams(payloads_l, dtypes):
+    """64-bit streams travel as u32 (hi, lo) word pairs end to end: the
+    TPU X64 rewriter cannot lower ragged-all-to-all (or most 64-bit HLOs)
+    on u64, and 32-bit lanes are native anyway.  BIT-preserving: float64
+    is bitcast (a value cast would truncate); int64 -> uint64 via astype
+    is already bit-identical (two's complement wrap)."""
+    ops = []
+    for p, dt in zip(payloads_l, dtypes):
+        if dt.itemsize == 8:
+            if dt.kind == "f":
+                p = jax.lax.bitcast_convert_type(p, jnp.uint64)
+            hi, lo = transforms.split64(p.astype(jnp.uint64))
+            ops.extend([hi, lo])
+        else:
+            ops.append(p)
+    return ops
+
+
+def merge_payload_streams(ops, dtypes):
+    """Inverse of split_payload_streams."""
+    out = []
+    it = iter(ops)
+    for dt in dtypes:
+        if dt.itemsize == 8:
+            merged = transforms.merge64(next(it), next(it))
+            if dt.kind == "f":
+                merged = jax.lax.bitcast_convert_type(merged, dt)
+            elif dt != merged.dtype:
+                merged = merged.astype(dt)
+            out.append(merged)
+        else:
+            out.append(next(it))
+    return tuple(out)
+
+
 def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
                              axis: str = DEFAULT_AXIS, ascending: bool = True,
                              capacity_factor: float = 2.0,
@@ -96,48 +261,15 @@ def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
     s_per_dev = min(n_local, samples_per_device) or 1
 
     kdt = np.dtype(key_dtype) if key_dtype is not None else np.dtype(keys.dtype)
-    if use_ragged is None:
-        # XLA:CPU has no ragged-all-to-all thunk; TPU/GPU do.
-        use_ragged = jax.default_backend() != "cpu"
+    use_ragged = default_use_ragged(use_ragged)
 
-    # 64-bit streams travel as u32 word pairs end to end: the TPU X64
-    # rewriter cannot lower ragged-all-to-all (or most 64-bit HLOs) on u64,
-    # and 32-bit lanes are native anyway.  int<->uint uses astype (two's
-    # complement wrap = bit-identical); float64 never reaches this layer on
-    # TPU (host boundary converts to bits).
-    pl_split = [np.dtype(p.dtype).itemsize == 8 for p in payloads]
+    pl_dtypes = [np.dtype(p.dtype) for p in payloads]
 
     def _split_payloads(payloads_l):
-        ops = []
-        for p, split in zip(payloads_l, pl_split):
-            if split:
-                # BIT-preserving 64-bit split: float64 must be bitcast (a
-                # value cast would truncate it); int64 -> uint64 via astype
-                # is already bit-identical (two's complement wrap)
-                if np.dtype(p.dtype).kind == "f":
-                    p = jax.lax.bitcast_convert_type(p, jnp.uint64)
-                hi, lo = transforms.split64(p.astype(jnp.uint64))
-                ops.extend([hi, lo])
-            else:
-                ops.append(p)
-        return ops
+        return split_payload_streams(payloads_l, pl_dtypes)
 
     def _merge_payloads(ops):
-        out = []
-        it = iter(ops)
-        for p, split in zip(payloads, pl_split):
-            if split:
-                hi = next(it)
-                lo = next(it)
-                merged = transforms.merge64(hi, lo)
-                if np.dtype(p.dtype).kind == "f":
-                    merged = jax.lax.bitcast_convert_type(merged, p.dtype)
-                elif p.dtype != merged.dtype:
-                    merged = merged.astype(p.dtype)
-                out.append(merged)
-            else:
-                out.append(next(it))
-        return tuple(out)
+        return merge_payload_streams(ops, pl_dtypes)
 
     def local_fn(keys_l, *payloads_l):
         my = jax.lax.axis_index(axis)
@@ -162,73 +294,16 @@ def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
                    * jnp.uint32(num_p) + my.astype(jnp.uint32))
             domain = (kops_s[0], kops_s[1], pos)
 
-        # 2. splitters from gathered samples
-        idx = ((jnp.arange(s_per_dev, dtype=jnp.float32) + 0.5)
-               * (n_local / s_per_dev)).astype(jnp.int32)
-        all_samples = [jax.lax.all_gather(jnp.take(w, idx), axis).reshape(-1)
-                       for w in domain]  # each (P*S,)
-        flat = jax.lax.sort(tuple(all_samples), num_keys=len(domain))
-        flat = flat if isinstance(flat, (tuple, list)) else (flat,)
-        spl_idx = (jnp.arange(1, num_p, dtype=jnp.int32) * s_per_dev)
-        splitters = [jnp.take(w, spl_idx) for w in flat]  # words of (P-1,)
-
-        # 3. bucket boundaries in my sorted shard (bucket p = rows for dev p)
-        if len(domain) == 1:
-            bounds = jnp.searchsorted(domain[0], splitters[0],
-                                      side="left").astype(jnp.int32)
-        else:
-            # lexicographic rank of each splitter = count of rows below it
-            h, l, q = (w[:, None] for w in domain)
-            sh, sl, sq = (w[None, :] for w in splitters)
-            less = ((h < sh) | ((h == sh) & ((l < sl) | ((l == sl)
-                    & (q < sq)))))
-            bounds = jnp.sum(less, axis=0, dtype=jnp.int32)
-        starts = jnp.concatenate([jnp.zeros(1, jnp.int32), bounds])
-        ends = jnp.concatenate([bounds, jnp.full((1,), n_local, jnp.int32)])
-        lens = ends - starts  # send_sizes (P,)
-
-        # 4. ragged all-to-all over ICI: buckets are already contiguous in
-        # the sorted shard, so the shard itself is the send operand — zero
-        # copies on the send side (SURVEY.md section 2.11 "TPU-native plan").
-        L = jax.lax.all_gather(lens, axis)          # L[src, dst]
-        recv_sizes = L[:, my]                       # (P,) from each src
-        total_raw = jnp.sum(recv_sizes)
-        overflow = total_raw > cap_recv
-        total_recv = jnp.minimum(total_raw, cap_recv)
-        # where my chunk lands on each destination: after all earlier srcs
-        csum_dst = jnp.cumsum(L, axis=0) - L        # exclusive over src
-        output_offsets = csum_dst[my, :]            # (P,) for my sends
-        # never write out of the destination buffer even when overflowing
-        # (results are then incomplete and the overflow flag is set)
-        allowed = jnp.clip(cap_recv - output_offsets, 0, None)
-        lens = jnp.minimum(lens, allowed)
-        output_offsets = jnp.clip(output_offsets, 0, cap_recv - 1)
-
-        if use_ragged:
-            def exchange(stream):
-                out_buf = jnp.zeros((cap_recv,), stream.dtype)
-                return jax.lax.ragged_all_to_all(
-                    stream, out_buf, starts, lens, output_offsets, recv_sizes,
-                    axis_name=axis)
-        else:
-            # Dense emulation for backends without ragged-all-to-all
-            # (XLA:CPU): all_gather everything, assemble my ragged slice
-            # locally.  Same math, O(P) extra traffic — test/debug path only.
-            starts_all = jax.lax.all_gather(starts, axis)   # (P, P)[src, dst]
-            col_excl = csum_dst[:, my]                      # (P,) by src
-            col_incl = col_excl + recv_sizes
-            t = jnp.arange(cap_recv, dtype=jnp.int32)
-            q_t = jnp.searchsorted(col_incl, t, side="right").astype(jnp.int32)
-            q_safe = jnp.clip(q_t, 0, num_p - 1)
-            off = t - jnp.take(col_excl, q_safe)
-            src_idx = jnp.clip(jnp.take(starts_all[:, my], q_safe) + off,
-                               0, n_local - 1)
-
-            def exchange(stream):
-                all_ops = jax.lax.all_gather(stream, axis)  # (P, n_local)
-                return all_ops[q_safe, src_idx]
-
-        recv_ops = [exchange(s) for s in kops_s + pays_s]
+        # 2. splitters from gathered samples; 3. bucket boundaries in my
+        # sorted shard (bucket p = rows for device p); 4. ragged
+        # all-to-all over ICI — buckets are already contiguous in the
+        # sorted shard, so the shard itself is the send operand, zero
+        # send-side copies (SURVEY.md section 2.11 "TPU-native plan")
+        splitters = gather_splitters(domain, axis, num_p - 1, s_per_dev)
+        bounds = lex_bounds(domain, splitters)
+        recv_ops, total_recv, overflow = exchange_by_bounds(
+            tuple(kops_s) + tuple(pays_s), bounds, axis, cap_recv,
+            use_ragged)
 
         # 5. final local sort; rows past total_recv are buffer padding and
         # carry an invalid flag as the primary key so they collect last
@@ -242,9 +317,8 @@ def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
 
         keys_out = transforms.keys_from_operands(
             tuple(kops_f), kdt, ascending, as_bits=key_dtype is not None)
-        overflow = jax.lax.convert_element_type(
-            jax.lax.pmax(overflow.astype(jnp.int32), axis), jnp.int32)
-        return (keys_out, _merge_payloads(pays_f), count[None], overflow[None])
+        return (keys_out, _merge_payloads(pays_f), count[None],
+                overflow[None])
 
     shard = functools.partial(
         jax.shard_map, mesh=mesh,

@@ -1,22 +1,41 @@
-"""Multi-host (multi-slice / DCN) entry helpers.
+"""Multi-host / multi-slice (DCN) scale-out: hierarchical two-phase sort.
 
 The reference is single-process by construction (SURVEY.md section 2.11);
-this module is the scale-out shell around dist_sort: initialize the JAX
-distributed runtime, build a mesh whose inner axis rides ICI and outer axis
-rides DCN, and run the same `distributed_sort_sharded` — XLA routes the
-ragged_all_to_all hierarchically over the mesh.
+this module is the DCN tier of the north star's scale-out plan (SURVEY.md
+section 7 step 6): a mesh whose OUTER axis crosses slices over DCN and
+whose INNER axis rides ICI within a slice, and a sort whose row exchange
+crosses the slow axis exactly once:
 
-Single-host virtual testing: `XLA_FLAGS=--xla_force_host_platform_device_count=N`
-with backend cpu exercises identical program structure (tests/, and the
-driver's dryrun_multichip).
+  phase 1 (DCN, chunked):  S-1 coarse splitters from a global sample
+      assign every row to a destination SLICE; each device ragged-
+      exchanges bucket s to its same-position peer in slice s over the
+      `slice` axis only.  The local shard is processed in Q independent
+      chunks — chunk q's local sort has no data dependence on chunk
+      q-1's collective, so XLA's async scheduler overlaps DCN transfer
+      with local compute (software double-buffering expressed as
+      dataflow independence, the collective-pipelining idiom).
+  phase 2 (ICI):  within each slice, the standard splitter sort of
+      parallel/dist_sort runs over the inner axis — collectives named on
+      the inner axis operate per-slice subgroups automatically.
+
+Every row therefore crosses DCN at most once, and the fine-grained
+(P-way) partitioning traffic stays on ICI — the hierarchical schedule the
+flat single-axis sort lacks.  Single-host virtual testing:
+`XLA_FLAGS=--xla_force_host_platform_device_count=N` with backend cpu
+exercises the identical program structure (tests/test_multihost.py).
 """
 
 from __future__ import annotations
 
+import functools
+import math
+
 import numpy as np
 import jax
-from jax.sharding import Mesh
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..utils import transforms
 from . import dist_sort
 
 
@@ -35,31 +54,221 @@ def init_distributed(coordinator_address: str | None = None,
             raise
 
 
-def make_hierarchical_mesh(ici_axis: str = "x", dcn_axis: str = "slice"
-                           ) -> Mesh:
-    """Mesh with hosts/slices on the outer (DCN) axis and each slice's
-    chips on the inner (ICI) axis, so the heavy per-bucket exchange of
-    dist_sort stays on ICI within a slice and only bucket-boundary traffic
-    crosses DCN."""
-    devs = np.array(jax.devices())
-    num_procs = jax.process_count()
-    if num_procs > 1 and len(devs) % num_procs == 0:
-        grid = devs.reshape(num_procs, -1)
-        return Mesh(grid, (dcn_axis, ici_axis))
-    return Mesh(devs.reshape(1, -1), (dcn_axis, ici_axis))
+def make_hierarchical_mesh(ici_axis: str = "x", dcn_axis: str = "slice",
+                           num_slices: int | None = None) -> Mesh:
+    """Mesh with slices/hosts on the outer (DCN) axis and each slice's
+    chips on the inner (ICI) axis.
+
+    Devices are grouped EXPLICITLY by process index (jax.devices() order
+    is not guaranteed process-contiguous); a ragged grouping raises
+    instead of silently degrading to a 1xN mesh.  `num_slices` overrides
+    the process count for single-process virtual testing."""
+    devs = jax.devices()
+    if num_slices is None:
+        num_slices = max(jax.process_count(), 1)
+        if num_slices > 1:
+            by_proc = {}
+            for d in devs:
+                by_proc.setdefault(d.process_index, []).append(d)
+            sizes = {len(v) for v in by_proc.values()}
+            if len(sizes) != 1:
+                raise ValueError(
+                    f"uneven devices per process: "
+                    f"{ {k: len(v) for k, v in by_proc.items()} }")
+            grid = np.array([by_proc[k] for k in sorted(by_proc)])
+            return Mesh(grid, (dcn_axis, ici_axis))
+    if len(devs) % num_slices:
+        raise ValueError(f"{len(devs)} devices not divisible into "
+                         f"{num_slices} slices")
+    grid = np.array(devs).reshape(num_slices, -1)
+    return Mesh(grid, (dcn_axis, ici_axis))
+
+
+def hierarchical_sort_sharded(keys, payloads, mesh: Mesh,
+                              ici_axis: str = "x", dcn_axis: str = "slice",
+                              ascending: bool = True,
+                              capacity_factor: float = 2.0,
+                              samples_per_device: int = 128,
+                              exchange_chunks: int = 2,
+                              key_dtype=None,
+                              use_ragged: bool | None = None):
+    """Jittable two-phase sort over a (dcn, ici) mesh.
+
+    keys/payloads are row-sharded over BOTH axes (slice-major).  Returns
+    (padded_keys, padded_payloads, counts, overflow) like
+    distributed_sort_sharded; concatenating valid prefixes in mesh order
+    (slice-major, then chip) is the globally sorted table.
+    """
+    num_s = mesh.shape[dcn_axis]
+    num_c = mesh.shape[ici_axis]
+    num_p = num_s * num_c
+    n = keys.shape[0]
+    if n % num_p:
+        raise ValueError(f"global length {n} not divisible by {num_p}")
+    n_local = n // num_p
+    q = max(1, min(exchange_chunks, n_local))
+    while n_local % q:
+        q -= 1
+    chunk = n_local // q
+    cap1 = max(int(math.ceil(capacity_factor * chunk)), 1)
+    cap2 = max(int(math.ceil(capacity_factor * n_local)), 1)
+    use_ragged = dist_sort.default_use_ragged(use_ragged)
+
+    kdt = np.dtype(key_dtype) if key_dtype is not None else np.dtype(keys.dtype)
+    pl_dtypes = [np.dtype(p.dtype) for p in payloads]
+
+    def _domain(kops_s, n_rows, pos_base, stride):
+        """Sample/search domain with a device-interleaved position
+        tie-break (same balance trick as dist_sort)."""
+        pos = (jnp.arange(n_rows, dtype=jnp.uint32) * jnp.uint32(stride)
+               + pos_base.astype(jnp.uint32))
+        if len(kops_s) == 1 and kops_s[0].dtype.itemsize * 8 + 32 <= 64:
+            wide = kops_s[0].astype(jnp.uint64) << jnp.uint64(32)
+            return (wide | (pos.astype(jnp.uint64)
+                            & jnp.uint64(0xFFFFFFFF)),)
+        return tuple(kops_s) + (pos,)
+
+    def local_fn(keys_l, *payloads_l):
+        s_idx = jax.lax.axis_index(dcn_axis)
+        c_idx = jax.lax.axis_index(ici_axis)
+        dev = s_idx * num_c + c_idx
+        kops = transforms.key_operands(keys_l, ascending, key_dtype)
+        nk = len(kops)
+        pl_ops = dist_sort.split_payload_streams(payloads_l, pl_dtypes)
+        streams = tuple(kops) + tuple(pl_ops)
+
+        # ---- phase 1: coarse partition across slices over DCN ----------
+        # sort the Q chunks independently (their sorts and collectives
+        # have no mutual data dependence -> the scheduler can overlap
+        # chunk q+1's local sort with chunk q's DCN transfer)
+        parts_sorted = []
+        domains = []
+        for i in range(q):
+            part = tuple(w[i * chunk:(i + 1) * chunk] for w in streams)
+            ps = jax.lax.sort(part, num_keys=nk, is_stable=False)
+            parts_sorted.append(ps)
+            domains.append(_domain(ps[:nk], chunk,
+                                   dev * jnp.uint32(q) + jnp.uint32(i),
+                                   num_p * q))
+        # slice splitters from a GLOBAL sample (gathered over both axes so
+        # every device agrees on the slice key ranges)
+        dom_cat = tuple(jnp.concatenate([d[j] for d in domains])
+                        for j in range(len(domains[0])))
+        spl_s = dist_sort.gather_splitters(
+            dom_cat, (dcn_axis, ici_axis), num_s - 1,
+            samples_per_device) if num_s > 1 else None
+
+        recv_chunks = []
+        totals = []
+        ov1 = jnp.int32(0)
+        for i in range(q):
+            if num_s > 1:
+                bounds = dist_sort.lex_bounds(domains[i], spl_s)
+                recv, tot, ov = dist_sort.exchange_by_bounds(
+                    parts_sorted[i], bounds, dcn_axis, cap1, use_ragged)
+                ov1 = ov1 + ov
+            else:
+                recv, tot = list(parts_sorted[i]), jnp.int32(chunk)
+            recv_chunks.append(recv)
+            totals.append(tot)
+
+        # merge the chunk buffers; invalid rows flagged and collected last
+        merged = [jnp.concatenate([rc[j] for rc in recv_chunks])
+                  for j in range(len(streams))]
+        valid_parts = [jnp.arange(rc[0].shape[0], dtype=jnp.int32) < t
+                       for rc, t in zip(recv_chunks, totals)]
+        invalid = (~jnp.concatenate(valid_parts)).astype(jnp.uint8)
+        n1 = merged[0].shape[0]
+        total1 = functools.reduce(jnp.add, totals).astype(jnp.int32)
+
+        # ---- phase 2: fine splitter sort within the slice over ICI -----
+        sorted2 = jax.lax.sort((invalid,) + tuple(merged),
+                               num_keys=1 + nk, is_stable=False)
+        inv2 = sorted2[0]
+        kops2 = sorted2[1:1 + nk]
+        rest2 = sorted2[1 + nk:]
+        # domain over valid rows; invalid rows get all-ones words so they
+        # fall past every splitter and are clipped off by n_valid
+        dom2 = _domain(kops2, n1, dev, num_p)
+        dom2 = tuple(jnp.where(inv2 == 0, w, ~w.dtype.type(0))
+                     for w in dom2)
+        spl_c = dist_sort.gather_splitters(dom2, ici_axis, num_c - 1,
+                                           samples_per_device,
+                                           n_valid=total1) \
+            if num_c > 1 else None
+        if num_c > 1:
+            bounds2 = dist_sort.lex_bounds(dom2, spl_c)
+            recv2, total2, ov2 = dist_sort.exchange_by_bounds(
+                (inv2,) + tuple(kops2) + tuple(rest2), bounds2, ici_axis,
+                cap2, use_ragged, n_valid=total1)
+            inv_r = recv2[0]
+            kops_r = recv2[1:1 + nk]
+            rest_r = recv2[1 + nk:]
+            pad2 = (jnp.arange(cap2, dtype=jnp.int32) >= total2)
+            invalid2 = jnp.maximum(inv_r, pad2.astype(jnp.uint8))
+        else:
+            kops_r, rest_r = kops2, rest2
+            invalid2, total2, ov2 = inv2, total1, jnp.int32(0)
+
+        fin = jax.lax.sort((invalid2,) + tuple(kops_r) + tuple(rest_r),
+                           num_keys=1 + nk, is_stable=False)
+        kops_f = fin[1:1 + nk]
+        pays_f = fin[1 + nk:]
+        count = jnp.sum((fin[0] == 0).astype(jnp.int32))
+
+        keys_out = transforms.keys_from_operands(
+            tuple(kops_f), kdt, ascending, as_bits=key_dtype is not None)
+        overflow = jax.lax.pmax(jax.lax.pmax(
+            (ov1 + ov2), ici_axis), dcn_axis)
+        return (keys_out, dist_sort.merge_payload_streams(pays_f, pl_dtypes),
+                count[None], overflow[None])
+
+    spec = P((dcn_axis, ici_axis))
+    shard = functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec,) * (1 + len(payloads)),
+        out_specs=(spec, tuple(spec for _ in payloads), spec, spec),
+    )
+    return shard(local_fn)(keys, *payloads)
+
+
+def hierarchical_sort(keys, *payloads, mesh: Mesh | None = None,
+                      ici_axis: str = "x", dcn_axis: str = "slice",
+                      num_slices: int | None = None, **kw):
+    """Host-friendly entry for the two-phase sort: shards host arrays over
+    a (slice, chip) mesh, runs one jitted step, returns
+    (padded_keys, payloads, counts, overflow, meta) like
+    dist_sort.distributed_sort (gather with dist_sort.gather_result)."""
+    if mesh is None:
+        mesh = make_hierarchical_mesh(ici_axis, dcn_axis, num_slices)
+    lossy_f64 = jax.default_backend() != "cpu"
+
+    def _host_bits(x):
+        x = np.asarray(x)
+        if lossy_f64 and x.dtype == np.float64:
+            return x.view(np.uint64), np.dtype(np.float64)
+        return x, None
+
+    keys, key_dtype = _host_bits(keys)
+    pl = [_host_bits(p) for p in payloads]
+    payloads = tuple(p for p, _ in pl)
+    meta = {"key_dtype": key_dtype, "payload_dtypes": [dt for _, dt in pl]}
+
+    sharding = NamedSharding(mesh, P((dcn_axis, ici_axis)))
+    keys_d = jax.device_put(jnp.asarray(keys), sharding)
+    pays_d = tuple(jax.device_put(jnp.asarray(p), sharding) for p in payloads)
+    fn = jax.jit(functools.partial(
+        hierarchical_sort_sharded, mesh=mesh, ici_axis=ici_axis,
+        dcn_axis=dcn_axis, key_dtype=key_dtype, **kw))
+    out_keys, out_pays, counts, overflow = fn(keys_d, pays_d)
+    return out_keys, out_pays, counts, overflow, meta
 
 
 def distributed_sort_multihost(keys, *payloads, ici_axis: str = "x",
                                dcn_axis: str = "slice", **kw):
-    """Sort across all processes' devices over ONE flattened logical axis.
-
-    Devices are ordered slice-major (each slice's chips contiguous on the
-    axis), so key-adjacent buckets land on ICI neighbours and only the
-    bucket ranges straddling slice boundaries cross DCN; the exchange
-    itself is still a single flat ragged_all_to_all — a true two-phase
-    (per-slice sort, then cross-slice merge over `dcn_axis`) that bounds
-    DCN traffic to one pass is future work.  `make_hierarchical_mesh` is
-    provided for callers composing their own 2-D shardings."""
+    """Back-compat flat entry: sort across all processes' devices over one
+    flattened axis (single-phase).  Prefer `hierarchical_sort` on
+    multi-slice topologies — it bounds DCN traffic to one pass."""
     mesh2 = make_hierarchical_mesh(ici_axis, dcn_axis)
     flat = Mesh(mesh2.devices.reshape(-1), (ici_axis,))
     return dist_sort.distributed_sort(keys, *payloads, mesh=flat,

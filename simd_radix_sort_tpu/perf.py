@@ -169,7 +169,8 @@ def _write_dat(name: str, header: str, rows) -> str:
 
 
 def perf_test(methods, num: int, key_dtype, payload_dtypes,
-              distribution=D.Distribution.UNIFORM, **kw) -> str:
+              distribution=D.Distribution.UNIFORM, out_name: str | None = None,
+              **kw) -> str:
     """Per-method ns/elem table for one workload (PerfTest::perfTest,
     perf.hpp:418-461; header perf.hpp:435)."""
     rows = []
@@ -183,8 +184,8 @@ def perf_test(methods, num: int, key_dtype, payload_dtypes,
         ns = measure_ns_per_element(m, num, key_dtype, payload_dtypes,
                                     distribution, **kw)
         rows.append((m, f"{ns:.4f}"))
-    return _write_dat(table_name(key_dtype, payload_dtypes, distribution,
-                                 num),
+    return _write_dat(out_name or table_name(key_dtype, payload_dtypes,
+                                             distribution, num),
                       "sort_method nanoseconds_per_element", rows)
 
 
@@ -239,6 +240,40 @@ def perf_test_block(num: int, key_dtype, payload_dtypes,
                                 + [common.type_name(p) for p in payload_dtypes]
                                 + [distribution.value, str(num)]) + ".dat"
     return _write_dat(name, "digitBits nanoseconds_per_element", rows)
+
+
+def perf_test_thresh(num: int, key_dtype, payload_dtypes,
+                     thresholds=(128, 256, 512, 1024, 2048, 4096),
+                     distribution=D.Distribution.UNIFORM, seed: int = 1,
+                     method: str = "quick") -> str:
+    """cmpSortThreshold sweep (perfTestThresh, perf.hpp:159-212): the
+    device quicksort's block_threshold sets the target segment size of the
+    sampled-splitter partition — the same pass-count vs base-case-cost
+    trade the reference's threshold controls."""
+    from .ops import quick_sort
+    rows = []
+    keys = D.make_keys(num, key_dtype, distribution, seed)
+    pays = D.make_payloads(keys, payload_dtypes, "fast")
+    # f64 crosses the device boundary as u64 bits (the X64 rewriter cannot
+    # lower f64 bitcasts on TPU) — same staging as measure_ns_per_element
+    f64_bits = jax.default_backend() != "cpu"
+    key_is_f64 = f64_bits and np.dtype(key_dtype) == np.float64
+    kd = jnp.asarray(keys.view(np.uint64) if key_is_f64 else keys)
+    pays = tuple(jnp.asarray(
+        p.view(np.uint64) if f64_bits and np.dtype(p.dtype) == np.float64
+        else p) for p in pays)
+    reps = min(256, max(1, REPS_NUMERATOR // max(num, 1)))
+    for t in thresholds:
+        fn = jax.jit(lambda k, ps, t=t: quick_sort.sort_arrays(
+            k, ps, block_threshold=t,
+            key_dtype=np.float64 if key_is_f64 else None))
+        sec = _time_pipelined(fn, [(kd, pays)], reps)
+        rows.append((t, f"{sec / max(num, 1) * 1e9:.4f}"))
+    name = ("thresh-" + method + "-"
+            + "-".join([common.type_name(key_dtype)]
+                       + [common.type_name(p) for p in payload_dtypes]
+                       + [distribution.value, str(num)]) + ".dat")
+    return _write_dat(name, "cmpThresh nanoseconds_per_element", rows)
 
 
 def _payload_combo_for_factor(key_dtype, factor: int):

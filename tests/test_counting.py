@@ -55,11 +55,15 @@ def test_counting_rejects_payloads():
 
 def test_auto_picks_count_for_narrow_keys_only():
     from simd_radix_sort_tpu import methods
-    big = 1 << 16  # above the small-n cutoff where counting's padding wins
-    assert methods.resolve("auto", np.uint8, (), big).name == "count"
-    assert methods.resolve("auto", np.int32, (), big).name == "count"
-    # tiny inputs stay on the comparison path (fixed-block padding cost)
+    # measured crossovers (see methods.py constants + tests/test_auto_policy)
+    assert methods.resolve("auto", np.uint8, (),
+                           methods.COUNT_CROSSOVER_N_1BYTE).name == "count"
+    assert methods.resolve("auto", np.int32, (),
+                           methods.COUNT_MIN_N_ADAPTIVE).name == "count"
+    # below the crossovers the comparison sort wins
     assert methods.resolve("auto", np.uint8, (), 1000).name == "xla"
+    assert methods.resolve("auto", np.int32, (), 1 << 18).name == "xla"
+    big = 1 << 26
     assert methods.resolve("auto", np.uint8, (np.uint32,), big).name == "xla"
     assert methods.resolve("auto", np.uint64, (), big).name == "xla"
     assert methods.resolve("auto", np.float32, (), big).name == "xla"

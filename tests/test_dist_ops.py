@@ -95,3 +95,69 @@ def test_distributed_aggregate_count_heavy():
     assert ng == len(uniq)
     assert np.array_equal(gk, uniq)
     assert np.array_equal(np.asarray(res), want)
+
+
+def _np_inner_join(pk, pp, bk, bp):
+    """Oracle: all (probe, build) matching pairs as a sorted multiset."""
+    out = []
+    bidx = {}
+    for i, k in enumerate(bk):
+        bidx.setdefault(k, []).append(i)
+    for i, k in enumerate(pk):
+        for j in bidx.get(k, ()):
+            out.append((k, pp[i], bp[j]))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("dtype", [np.uint32, np.int32, np.uint64])
+def test_distributed_join(dtype):
+    rng = np.random.default_rng(40)
+    n_p, n_b = 8 * 256, 8 * 128
+    pk = rng.integers(0, 300, n_p).astype(dtype)
+    bk = rng.integers(0, 300, n_b).astype(dtype)
+    pp = rng.integers(0, 2**31, n_p, dtype=np.int32)
+    bp = rng.integers(0, 2**63, n_b, dtype=np.uint64)
+    # ~23 expected matches per probe key -> ~900 output rows per device;
+    # size the static output capacity above that
+    counts, k_out, opp, obp, ov = dist_ops.distributed_join(
+        pk, (pp,), bk, (bp,), out_rows_per_device=4096)
+    assert not np.asarray(ov).any()
+    gk, (gpp,), (gbp,) = dist_ops.gather_joined(counts, k_out, opp, obp)
+    got = sorted(zip(gk.tolist(), gpp.tolist(), gbp.tolist()))
+    want = _np_inner_join(pk.tolist(), pp.tolist(), bk.tolist(), bp.tolist())
+    assert got == want
+
+
+def test_distributed_join_skewed_keys():
+    """One hot key on both sides: all its pairs must still meet (equal
+    keys co-locate) and the output capacity overflow must be flagged when
+    exceeded."""
+    rng = np.random.default_rng(41)
+    n = 8 * 64
+    pk = np.where(np.arange(n) % 4 == 0, 7, rng.integers(100, 200, n))
+    bk = np.where(np.arange(n) % 8 == 0, 7, rng.integers(100, 200, n))
+    pk, bk = pk.astype(np.int32), bk.astype(np.int32)
+    pp = np.arange(n, dtype=np.int32)
+    bp = np.arange(n, dtype=np.int32) * 2
+    # key 7 alone produces (n/4)*(n/8) = 8192 pairs, all on ONE device
+    counts, k_out, opp, obp, ov = dist_ops.distributed_join(
+        pk, (pp,), bk, (bp,), capacity_factor=8.0,
+        out_rows_per_device=16384)
+    assert not np.asarray(ov).any()
+    gk, (gpp,), (gbp,) = dist_ops.gather_joined(counts, k_out, opp, obp)
+    got = sorted(zip(gk.tolist(), gpp.tolist(), gbp.tolist()))
+    want = _np_inner_join(pk.tolist(), pp.tolist(), bk.tolist(), bp.tolist())
+    assert got == want
+    # tiny output capacity must flag overflow
+    _, _, _, _, ov2 = dist_ops.distributed_join(
+        pk, (pp,), bk, (bp,), capacity_factor=8.0, out_rows_per_device=4)
+    assert np.asarray(ov2).any()
+
+
+def test_distributed_join_no_matches():
+    pk = np.arange(8 * 32, dtype=np.uint32)
+    bk = pk + 1_000_000
+    counts, k_out, opp, obp, ov = dist_ops.distributed_join(
+        pk, (), bk, ())
+    assert not np.asarray(ov).any()
+    assert int(np.asarray(counts).sum()) == 0

@@ -1,0 +1,46 @@
+"""merge_join_indices: the padded sort-merge join primitive."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from simd_radix_sort_tpu.ops import hashjoin
+from simd_radix_sort_tpu.utils import transforms
+
+
+def _ops(arr, dtype):
+    u = transforms.to_sortable_np(np.asarray(arr, dtype), True)
+    if u.dtype == np.uint64:
+        return (jnp.asarray((u >> np.uint64(32)).astype(np.uint32)),
+                jnp.asarray((u & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+    return (jnp.asarray(u),)
+
+
+@pytest.mark.parametrize("dtype", [np.uint32, np.uint64])
+def test_merge_join_indices_matches(dtype):
+    rng = np.random.default_rng(50)
+    pk = rng.integers(0, 40, 300).astype(dtype)
+    bk = rng.integers(0, 40, 200).astype(dtype)
+    # pad both sides: 44 probe pads, 56 build pads with junk contents
+    pk_pad = np.concatenate([pk, rng.integers(0, 40, 44).astype(dtype)])
+    bk_pad = np.concatenate([bk, rng.integers(0, 40, 56).astype(dtype)])
+    cap = 8192
+    total, pidx, bidx = hashjoin.merge_join_indices(
+        _ops(pk_pad, dtype), len(pk), _ops(bk_pad, dtype), len(bk), cap)
+    total = int(total)
+    want = sorted((int(k), i, j) for i, k in enumerate(pk)
+                  for j, kb in enumerate(bk) if kb == k)
+    assert total == len(want)
+    got = sorted((int(pk[i]), int(i), int(j))
+                 for i, j in zip(np.asarray(pidx)[:total],
+                                 np.asarray(bidx)[:total]))
+    assert got == want
+
+
+def test_merge_join_indices_truncation():
+    pk = np.zeros(64, np.uint32)
+    bk = np.zeros(64, np.uint32)
+    total, pidx, bidx = hashjoin.merge_join_indices(
+        _ops(pk, np.uint32), 64, _ops(bk, np.uint32), 64, 100)
+    assert int(total) == 64 * 64  # reported total exceeds capacity
+    assert np.asarray(pidx).shape == (100,)
