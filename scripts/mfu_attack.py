@@ -70,7 +70,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000_000)
     args = ap.parse_args()
-    n = (args.n // LEAF) * LEAF
+    n = (args.n // (2 * LEAF)) * (2 * LEAF)  # merge stages need 2*LEAF groups
     c = n // LEAF
     rng = np.random.default_rng(2)
     streams = [jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))

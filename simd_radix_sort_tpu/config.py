@@ -22,12 +22,11 @@ import dataclasses
 # reference, 1024-row blocks for the device engines).
 DEFAULT_BLOCK_THRESHOLD = None
 
-# 16-bit digits: the committed knob sweep (bench_out/digits-int32-int32-
-# Uniform-262144.dat: 4->11.75, 8->6.39, 16->3.49, 32->3.99 ns/elem) shows
-# the stable-sort mover's pass cost is digit-width independent, so wider
-# digits (fewer passes) win until the digit itself stops fitting a native
-# 32-bit lane comparison.  Matches the engine default (ops/radix.py).
-DEFAULT_DIGIT_BITS = 16
+# None = per-key-width engine default: the knob sweeps (bench_out/
+# digits-*.dat) show the stable-sort mover's pass cost is digit-width
+# independent, so fewer passes win — 16-bit digits for <=32-bit keys,
+# full 32-bit word digits for 64-bit carriers (ops/radix.py).
+DEFAULT_DIGIT_BITS = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,11 +40,12 @@ class SortConfig:
     block_threshold  — cmpSortThreshold analogue (base-case block size for
                        the quick engine's splitter recursion); None keeps
                        each engine's own default.
-    digit_bits       — LSD digit width for the radix engine.
+    digit_bits       — LSD digit width for the radix engine; None keeps
+                       the measured per-key-width default.
     """
 
     ascending: bool = True
     method: str = "auto"  # key into methods.REGISTRY
     stable: bool = False
     block_threshold: int | None = DEFAULT_BLOCK_THRESHOLD
-    digit_bits: int = DEFAULT_DIGIT_BITS
+    digit_bits: int | None = DEFAULT_DIGIT_BITS

@@ -163,7 +163,10 @@ def sort_arrays(keys: jax.Array, payloads=(), ascending: bool = True,
          blocked.
     """
     n = keys.shape[0]
-    thr = block_threshold or 1024
+    # measured threshold sweep (bench_out/thresh-quick-*.dat): 4096-row
+    # base segments win (4.02 vs 4.27 ns/elem at 128) — fewer buckets cut
+    # the VPU bucket-compare cost while segments stay under BLOCK/2
+    thr = block_threshold or 4096
     kops = transforms.key_operands(keys, ascending, key_dtype)
     pl_ops = tuple(jnp.asarray(p) for p in payloads)
     nk = len(kops)
@@ -181,8 +184,12 @@ def sort_arrays(keys: jax.Array, payloads=(), ascending: bool = True,
     spl = _splitters(kops, c - 1)
     b = _bucket_ids(kops, spl)
     pos = (jnp.arange(n, dtype=jnp.uint32),) if stable else ()
+    # the partition pass only needs to GROUP buckets contiguously — the
+    # cleanup phases re-sort by (bucket, key words) — so the unstable
+    # 1-key sort suffices unless overall stability is requested (XLA's
+    # stable sorts pay an internal index-tiebreak stream)
     moved = jax.lax.sort((b,) + tuple(kops) + pos + pl_ops, num_keys=1,
-                         is_stable=True)
+                         is_stable=stable)
     b_s = moved[0]
     streams = moved[1:]  # kops + (pos?) + payloads, bucket-grouped
 

@@ -104,7 +104,7 @@ def sort_arrays(keys: jax.Array, payloads, ascending: bool = True,
     """
     if engine == "sort":
         return _sort_arrays_sortpass(keys, payloads, ascending,
-                                     digit_bits or 16, key_dtype)
+                                     digit_bits, key_dtype)
     if engine != "scatter":
         raise ValueError(f"unknown radix engine {engine!r}")
     digit_bits = digit_bits or 8
@@ -144,6 +144,12 @@ def _sort_arrays_sortpass(keys, payloads, ascending, digit_bits, key_dtype):
     """LSD digit passes with a stable variadic sort as the per-pass mover."""
     kops = list(transforms.key_operands(keys, ascending, key_dtype))
     word_bits = kops[0].dtype.itemsize * 8
+    if digit_bits is None:
+        # measured knob sweeps (bench_out/digits-*.dat): pass cost is
+        # digit-width independent, so fewer passes win — 16-bit digits
+        # for <=32-bit keys (2 passes), full 32-bit words for 64-bit
+        # carriers (2 word passes: 4.50 vs 8.18 ns/elem at 16 bits)
+        digit_bits = 32 if len(kops) == 2 else 16
     digit_bits = min(digit_bits, word_bits)
     streams = kops + list(payloads)
     mask = kops[0].dtype.type((1 << digit_bits) - 1)

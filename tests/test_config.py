@@ -9,12 +9,13 @@ from simd_radix_sort_tpu.config import SortConfig
 
 
 def test_defaults_match_engines():
-    # the config default must agree with the radix engine's actual default
-    # (VERDICT round 1: the 8-vs-16 contradiction)
+    # the config default must defer to the radix engine's measured
+    # per-key-width default (VERDICT round 1: the 8-vs-16 contradiction)
+    assert config_mod.DEFAULT_DIGIT_BITS is None
     from simd_radix_sort_tpu.ops import radix
     import inspect
-    src = inspect.getsource(radix.sort_arrays)
-    assert f"digit_bits or {config_mod.DEFAULT_DIGIT_BITS}" in src
+    src = inspect.getsource(radix._sort_arrays_sortpass)
+    assert "32 if len(kops) == 2 else 16" in src
 
 
 def test_config_supplies_defaults():
