@@ -42,10 +42,13 @@ def main():
     amt_f, (cust_f,) = dist_ops.gather_filtered(counts, ck, (ca,))
     print(f"filter: {len(amt_f)} of {n} rows pass on {n_dev} devices")
 
-    # 2. distributed join: attach each purchase's region
+    # 2. distributed join: attach each purchase's region (tables must be
+    # divisible by the mesh size — trim the filtered ragged tail)
+    m = len(cust_f) // n_dev * n_dev
+    cust_f, amt_f = cust_f[:m], amt_f[:m]
     jc, jk, (ja,), (jr,), ov = dist_ops.distributed_join(
         cust_f, (amt_f,), dim_id, (dim_region,), mesh=mesh,
-        capacity_factor=4.0)
+        capacity_factor=4.0, out_rows_per_device=4 * (m + len(dim_id)))
     assert not np.asarray(ov).any()
     k_j, (amt_j,), (reg_j,) = dist_ops.gather_joined(jc, jk, (ja,), (jr,))
     print(f"join: {len(k_j)} matched purchase rows")

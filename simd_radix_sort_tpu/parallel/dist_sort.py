@@ -22,10 +22,10 @@ static-shape idiom); an overflow flag reports when sampling error or key
 skew exceeded it so the caller can rerun with a larger factor.  XLA:CPU has
 no ragged-all-to-all thunk, so a dense all_gather emulation backs the
 virtual-mesh test path.  Keys are tie-broken exactly with a
-device-interleaved position — packed into a u64 sample/search domain for
-<= 32-bit keys, carried as a third u32 word with lexicographic splitter
-ranking for 64-bit keys — which keeps duplicate-heavy distributions
-(Zero, ZeroOne) and pre-sorted inputs perfectly balanced.
+device-interleaved position carried as an extra u32 word of the
+lexicographic sample/search domain — which keeps duplicate-heavy
+distributions (Zero, ZeroOne) and pre-sorted inputs perfectly balanced
+without any 64-bit lane dependence.
 
 Output stays sharded: (keys, payloads) padded per device + per-device valid
 counts — concatenating each device's valid prefix in mesh order is the
@@ -52,26 +52,6 @@ def make_mesh(num_devices: int | None = None, axis: str = DEFAULT_AXIS) -> Mesh:
     if num_devices is not None:
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis,))
-
-
-def _sortable_with_tiebreak(u: jax.Array, axis_index, n_local: int,
-                            num_p: int):
-    """Sample/search domain: transformed key, tie-broken by a device-
-    interleaved position when it fits.  <=32-bit keys widen to u64 as
-    (key << 32) | (i * P + dev): the interleaving spreads equal keys evenly
-    across ALL buckets, so duplicate-heavy inputs stay load-balanced (the
-    skew-repartition requirement of the north star).  64-bit keys never
-    reach this helper: they carry the position as a third u32 word in the
-    lexicographic domain built in local_fn."""
-    if u.dtype.itemsize * 8 + 32 > 64:
-        raise AssertionError(
-            "64-bit carriers must use the (hi, lo, pos) lexicographic "
-            "domain in local_fn, never this u64 packing")
-    pos = (jnp.arange(n_local, dtype=jnp.uint64) * jnp.uint64(num_p)
-           + axis_index.astype(jnp.uint64))
-    # key in the high bits, interleaved position in the low 32
-    wide = u.astype(jnp.uint64) << jnp.uint64(32)
-    return wide | (pos & jnp.uint64(0xFFFFFFFF))
 
 
 def default_use_ragged(use_ragged: bool | None) -> bool:
@@ -281,18 +261,16 @@ def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
                                   num_keys=len(kops), is_stable=False)
         kops_s = sorted_ops[: len(kops)]
         pays_s = sorted_ops[len(kops):]
-        # sample/search domain, exactly tie-broken by a device-interleaved
-        # post-sort position so duplicate-heavy inputs stay balanced:
-        #   <=32-bit keys: one u64 word, (key << 32) | pos  (fast path)
-        #   64-bit keys:   (hi, lo, pos) u32 words, lexicographic
-        # (pos fits 32 bits for global n < 2^32; positions are increasing
-        # within equal keys by construction, so the domain is sorted)
-        if len(kops) == 1:
-            domain = (_sortable_with_tiebreak(kops_s[0], my, n_local, num_p),)
-        else:
-            pos = (jnp.arange(n_local, dtype=jnp.uint32)
-                   * jnp.uint32(num_p) + my.astype(jnp.uint32))
-            domain = (kops_s[0], kops_s[1], pos)
+        # sample/search domain: (key words..., pos) u32 lexicographic,
+        # exactly tie-broken by a device-interleaved post-sort position so
+        # duplicate-heavy inputs stay balanced (the skew-repartition
+        # requirement of the north star).  Pure u32 words — a packed-u64
+        # formulation silently truncates when x64 is off (pos fits 32
+        # bits for global n < 2^32; positions are increasing within equal
+        # keys by construction, so the domain is sorted).
+        pos = (jnp.arange(n_local, dtype=jnp.uint32)
+               * jnp.uint32(num_p) + my.astype(jnp.uint32))
+        domain = tuple(kops_s) + (pos,)
 
         # 2. splitters from gathered samples; 3. bucket boundaries in my
         # sorted shard (bucket p = rows for device p); 4. ragged

@@ -119,13 +119,11 @@ def hierarchical_sort_sharded(keys, payloads, mesh: Mesh,
 
     def _domain(kops_s, n_rows, pos_base, stride):
         """Sample/search domain with a device-interleaved position
-        tie-break (same balance trick as dist_sort)."""
+        tie-break (same balance trick as dist_sort): (key words..., pos)
+        pure-u32 lexicographic — no 64-bit lanes (a packed-u64 variant
+        silently truncates when x64 is off)."""
         pos = (jnp.arange(n_rows, dtype=jnp.uint32) * jnp.uint32(stride)
                + pos_base.astype(jnp.uint32))
-        if len(kops_s) == 1 and kops_s[0].dtype.itemsize * 8 + 32 <= 64:
-            wide = kops_s[0].astype(jnp.uint64) << jnp.uint64(32)
-            return (wide | (pos.astype(jnp.uint64)
-                            & jnp.uint64(0xFFFFFFFF)),)
         return tuple(kops_s) + (pos,)
 
     def local_fn(keys_l, *payloads_l):
