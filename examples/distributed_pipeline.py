@@ -46,7 +46,7 @@ def main():
     # divisible by the mesh size — trim the filtered ragged tail)
     m = len(cust_f) // n_dev * n_dev
     cust_f, amt_f = cust_f[:m], amt_f[:m]
-    jc, jk, (ja,), (jr,), ov = dist_ops.distributed_join(
+    jc, jk, (ja,), (jr,), ov, jmeta = dist_ops.distributed_join(
         cust_f, (amt_f,), dim_id, (dim_region,), mesh=mesh,
         capacity_factor=4.0, out_rows_per_device=4 * (m + len(dim_id)))
     assert not np.asarray(ov).any()

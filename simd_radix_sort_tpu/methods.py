@@ -172,6 +172,8 @@ register(SortMethod("seq", _run_seq, _supports_all, device=False))
 #     (tiny-range counting measured 2.15 Gelem/s at 1e8 in round 1 vs
 #     ~0.7 G for the full sort).
 COUNT_CROSSOVER_N_1BYTE = 1 << 17
+# == counting.SMALL_MIN_N, the engine's own 1024-bucket branch gate
+# (single source of truth asserted by tests/test_auto_policy.py)
 COUNT_MIN_N_ADAPTIVE = 1 << 21
 
 

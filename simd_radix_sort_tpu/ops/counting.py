@@ -49,8 +49,9 @@ K_MAX_RANGE = 1024
 # int32-Gaussian-262144.dat count 2.54 vs xla 0.94 — the 1024-bucket
 # branch must NOT engage at the reference's n).  Below this static size
 # the adaptive path skips straight from tiny-range to the comparison
-# fallback.
-SMALL_MIN_N = 1 << 22
+# fallback.  methods.COUNT_MIN_N_ADAPTIVE aliases this so the auto
+# policy can never route into a band where the branch is compiled out.
+SMALL_MIN_N = 1 << 21
 # Near-constant fast path (Zero / ZeroOne / small enums): 16 buckets is
 # ~0.03 cycles/element.
 K_TINY_RANGE = 16

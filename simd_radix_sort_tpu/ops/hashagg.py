@@ -40,18 +40,27 @@ def _segmented_scan(vals: jax.Array, starts: jax.Array, op):
 
 
 def group_aggregate(keys: jax.Array, values, aggs=("sum",),
-                    presorted: bool = False, method: str = "xla"):
+                    presorted: bool = False, method: str = "xla",
+                    agg_streams=None):
     """Aggregate `values` (one array or a tuple of arrays) per distinct key.
 
     Returns (num_groups, group_keys, results) where results[agg_index] is a
     tuple with one array per value stream (except "count": one array).  All
     outputs are padded to n rows; rows past num_groups are meaningless.
+
+    `agg_streams` (optional, parallel to `aggs`) restricts each aggregate
+    to a subset of value-stream indices — e.g. combine data streams with
+    "sum" while a validity stream gets only "max" — so no scan runs on a
+    stream whose result is unused.  results[agg_index] then has one entry
+    per SELECTED stream, in selection order.
     """
     single = not isinstance(values, (tuple, list))
     vals = (values,) if single else tuple(values)
     for a in aggs:
         if a not in AGGS:
             raise ValueError(f"unknown aggregate {a!r}; have {AGGS}")
+    if agg_streams is None:
+        agg_streams = [tuple(range(len(vals)))] * len(aggs)
     n = keys.shape[0]
 
     if not presorted:
@@ -68,14 +77,15 @@ def group_aggregate(keys: jax.Array, values, aggs=("sum",),
 
     pos = jnp.arange(n, dtype=jnp.int64 if n > 2**31 - 1 else jnp.int32)
     results = []
-    for agg in aggs:
+    for agg, streams in zip(aggs, agg_streams):
+        sel = tuple(vals[i] for i in streams)
         if agg == "count":
             csum = pos + 1
             (cnt_g,) = _compact_at(ends, (csum.astype(jnp.int32),))
             results.append(_diff_groups(cnt_g))
         elif agg in ("sum", "mean"):
             per_stream = []
-            for v in vals:
+            for v in sel:
                 acc = jnp.cumsum(
                     v.astype(jnp.float32) if v.dtype == jnp.float16 else v)
                 (s_g,) = _compact_at(ends, (acc,))
@@ -91,7 +101,7 @@ def group_aggregate(keys: jax.Array, values, aggs=("sum",),
         else:  # min / max
             op = jnp.minimum if agg == "min" else jnp.maximum
             per_stream = []
-            for v in vals:
+            for v in sel:
                 seg = _segmented_scan(v, starts, op)
                 (m_g,) = _compact_at(ends, (seg,))
                 per_stream.append(m_g)

@@ -153,12 +153,23 @@ def merge_join_indices(probe_ops, n_probe_valid, build_ops, n_build_valid,
     # precedes any probe row i of the run: matches(i) = cb[i] - before
     count = jnp.where(is_probe, cb - cb_before_run, 0)
 
-    cum = jnp.cumsum(count, dtype=jnp.int32)
-    total = cum[-1] if m else jnp.int32(0)
+    # int64 accumulation: a hot co-located key pair can produce > 2^31
+    # output pairs, and a wrapped int32 cumsum is non-monotonic — binary
+    # search then misroutes even in-capacity slots and the overflow flag
+    # silently reads False.  Only the prefix below `capacity` must be
+    # exact in 32 bits, so the search runs on the capped cumsum.
+    cum64 = jnp.cumsum(count.astype(jnp.int64), dtype=jnp.int64)
+    total = cum64[-1] if m else jnp.int64(0)
+    cum_cap = jnp.minimum(cum64, capacity).astype(jnp.int32)
     t = jnp.arange(capacity, dtype=jnp.int32)
-    mpos = jnp.clip(jnp.searchsorted(cum, t, side="right").astype(jnp.int32),
+    mpos = jnp.clip(jnp.searchsorted(cum_cap, t,
+                                     side="right").astype(jnp.int32),
                     0, max(m - 1, 0))
-    offset = t - (jnp.take(cum, mpos) - jnp.take(count, mpos))
+    # slot start from the EXACT cumsum: the owning row's start is < t <
+    # capacity, so it fits int32 even when its (capped) end does not
+    start = (jnp.take(cum64, mpos)
+             - jnp.take(count, mpos).astype(jnp.int64))
+    offset = t - jnp.clip(start, 0, capacity).astype(jnp.int32)
     bpos = jnp.clip(jnp.take(run_start, mpos) + offset, 0, max(m - 1, 0))
     return total, jnp.take(s_idx, mpos), jnp.take(s_idx, bpos)
 

@@ -90,11 +90,14 @@ def partition(keys: jax.Array, payloads, pivot, ascending: bool = True):
 # Device quicksort engine (sampled-splitter multiway partition)
 # ---------------------------------------------------------------------------
 
-# Max pivots per partition pass.  255 splitters ~ the reference's pivot
+# Max pivots per partition pass.  Splitter counts ~ the reference's pivot
 # adaptivity (median-of-9 oversampling, quick_sort.hpp:285-294) scaled to
-# one vectorized pass; the compare cost is C ops/element on the VPU.
-MAX_BUCKETS = 256
-OVERSAMPLE = 8  # samples per splitter, like classic samplesort
+# one vectorized pass; the compare cost is C lex-ops/element on the VPU.
+MAX_BUCKETS = 1024
+# samples per splitter: segment sizes concentrate as ~(1 + 3/sqrt(OS));
+# 32x keeps the max segment under the 2x blocked-cleanup engagement bound
+# (8x measured up to 2.5x average on uniform data)
+OVERSAMPLE = 32
 
 
 def _splitters(kops, num_splitters: int):
@@ -130,12 +133,15 @@ def _bucket_ids(kops, spl) -> jax.Array:
     return jnp.sum(le, axis=1, dtype=jnp.int32).astype(jnp.uint32)
 
 
-# Cleanup block width.  Batched (C, 8192) row sorts are the fastest
-# reorder primitive on this hardware (BENCH_NOTES.md); any key interval of
-# length <= BLOCK/2 is fully contained in a block of one of the two offset
+# Cleanup block width.  Batched row sorts are the fastest reorder
+# primitive on this hardware (BENCH_NOTES.md); any key interval of length
+# <= BLOCK/2 is fully contained in a block of one of the two offset
 # phases (offset 0 and BLOCK/2), which is what makes the blocked cleanup
-# exact.
-BLOCK = 8192
+# exact.  BLOCK/2 = 2x the target segment size, so sampling error must
+# exceed 2x before the anti-skew fallback engages (with BLOCK == 2*thr
+# the average segment already sat AT the engagement bound and the blocked
+# path almost never ran — round-2 review finding).
+BLOCK = 16384
 
 
 def sort_arrays(keys: jax.Array, payloads=(), ascending: bool = True,
@@ -163,9 +169,8 @@ def sort_arrays(keys: jax.Array, payloads=(), ascending: bool = True,
          blocked.
     """
     n = keys.shape[0]
-    # measured threshold sweep (bench_out/thresh-quick-*.dat): 4096-row
-    # base segments win (4.02 vs 4.27 ns/elem at 128) — fewer buckets cut
-    # the VPU bucket-compare cost while segments stay under BLOCK/2
+    # 4096-row target segments: large enough to keep the bucket-compare
+    # cost low, half the BLOCK/2 engagement bound for sampling headroom
     thr = block_threshold or 4096
     kops = transforms.key_operands(keys, ascending, key_dtype)
     pl_ops = tuple(jnp.asarray(p) for p in payloads)

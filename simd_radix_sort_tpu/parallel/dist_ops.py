@@ -115,11 +115,14 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
             parts_all = [jnp.where(valid_all, p, _identity(p.dtype))
                          for p in parts_all]
         vstream = valid_all.astype(jnp.int32)
+        # combine the data partials with combine_agg, the validity stream
+        # with its own max — each scan only runs on the stream it serves
         ng2, gk2, (res2, res_max) = hashagg.group_aggregate(
             gk_all, tuple(parts_all) + (vstream,),
-            aggs=(combine_agg, "max"))
-        totals = res2[:-1]
-        vres = res_max[-1]  # max of the validity bits per group
+            aggs=(combine_agg, "max"),
+            agg_streams=(tuple(range(len(parts_all))), (len(parts_all),)))
+        totals = res2
+        vres = res_max[0]  # max of the validity bits per group
         rows = jnp.arange(gk_all.shape[0], dtype=jnp.int32)
         real = (vres == 1) & (rows < ng2)
         cnt, gk_f, *tot_f = filter_op.compact(real, gk2, *totals)
@@ -177,6 +180,26 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
     build_keys = np.asarray(build_keys)
     if probe_keys.dtype != build_keys.dtype:
         raise ValueError("probe and build key dtypes must match")
+    # float64 never lives on a TPU device (lossy emulated storage; f64
+    # bitcasts cannot lower) — stage f64 keys/payloads as u64 bits, hand
+    # bits back through meta like distributed_sort does
+    lossy_f64 = jax.default_backend() != "cpu"
+
+    def _host_bits(x):
+        x = np.asarray(x)
+        if lossy_f64 and x.dtype == np.float64:
+            return x.view(np.uint64), np.dtype(np.float64)
+        return x, None
+
+    probe_keys, key_f64 = _host_bits(probe_keys)
+    build_keys, _ = _host_bits(build_keys)
+    pp_staged = [_host_bits(p) for p in probe_payloads]
+    bp_staged = [_host_bits(p) for p in build_payloads]
+    probe_payloads = tuple(p for p, _ in pp_staged)
+    build_payloads = tuple(p for p, _ in bp_staged)
+    meta = {"key_dtype": key_f64,
+            "probe_payload_dtypes": [dt for _, dt in pp_staged],
+            "build_payload_dtypes": [dt for _, dt in bp_staged]}
     for name, arr in (("probe", probe_keys), ("build", build_keys)):
         if arr.shape[0] % num_p:
             raise ValueError(f"{name} rows {arr.shape[0]} not divisible by "
@@ -199,8 +222,8 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
     def local(pk_l, bk_l, *pays):
         pp_l = pays[:len(p_dts)]
         bp_l = pays[len(p_dts):]
-        kops_p = transforms.key_operands(pk_l, True)
-        kops_b = transforms.key_operands(bk_l, True)
+        kops_p = transforms.key_operands(pk_l, True, logical_dtype=key_f64)
+        kops_b = transforms.key_operands(bk_l, True, logical_dtype=key_f64)
         nk = len(kops_p)
         pp_ops = dist_sort.split_payload_streams(pp_l, p_dts)
         bp_ops = dist_sort.split_payload_streams(bp_l, b_dts)
@@ -234,7 +257,9 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
 
         out_kops = tuple(jnp.where(valid, jnp.take(w, pidx), 0)
                          for w in recv_p[:nk])
-        keys_out = transforms.keys_from_operands(out_kops, pk_l.dtype, True)
+        keys_out = transforms.keys_from_operands(
+            out_kops, key_f64 or pk_l.dtype, True,
+            as_bits=key_f64 is not None)
         out_pp = tuple(jnp.where(valid, jnp.take(s, pidx), 0)
                        for s in recv_p[nk:])
         out_bp = tuple(jnp.where(valid, jnp.take(s, bidx), 0)
@@ -253,16 +278,28 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
     out_pp = tuple(out[2: 2 + len(p_dts)])
     out_bp = tuple(out[2 + len(p_dts): 2 + len(p_dts) + len(b_dts)])
     overflow = out[-1]
-    return counts, keys_out, out_pp, out_bp, overflow
+    return counts, keys_out, out_pp, out_bp, overflow, meta
 
 
-def gather_joined(counts, keys, probe_payloads=(), build_payloads=()):
-    """Host-side: concatenate each device's valid join-output prefix."""
+def gather_joined(counts, keys, probe_payloads=(), build_payloads=(),
+                  meta=None):
+    """Host-side: concatenate each device's valid join-output prefix;
+    `meta` (from distributed_join) views f64-as-bits streams back."""
     from .dist_sort import gather_result
     k, pays = gather_result(keys, tuple(probe_payloads)
                             + tuple(build_payloads), counts)
     npp = len(probe_payloads)
-    return k, tuple(pays[:npp]), tuple(pays[npp:])
+    pp_out, bp_out = list(pays[:npp]), list(pays[npp:])
+    if meta:
+        if meta.get("key_dtype") is not None:
+            k = k.view(meta["key_dtype"])
+        for i, dt in enumerate(meta.get("probe_payload_dtypes", [])):
+            if dt is not None:
+                pp_out[i] = pp_out[i].view(dt)
+        for i, dt in enumerate(meta.get("build_payload_dtypes", [])):
+            if dt is not None:
+                bp_out[i] = bp_out[i].view(dt)
+    return k, tuple(pp_out), tuple(bp_out)
 
 
 def distributed_top_k(keys, *payloads, k: int, largest: bool = True,

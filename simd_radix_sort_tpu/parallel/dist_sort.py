@@ -140,7 +140,15 @@ def exchange_by_bounds(streams, bounds, axis: str, cap_recv: int,
 def lex_bounds(domain, splitters):
     """Bucket boundaries of P-1 splitters in a locally sorted multi-word
     lexicographic domain: bounds[p] = number of local rows strictly below
-    splitter p (each bucket p is then [bounds[p-1], bounds[p]))."""
+    splitter p (each bucket p is then [bounds[p-1], bounds[p])).
+
+    Cost: the multi-word path is a broadcast compare-and-count, O(n_local
+    * (P-1) * words) VPU ops with the (n, P-1) intermediate fused into
+    the reduce — at a 256-chip pod with 10M-row shards that is ~5e9 lane
+    ops, well under 2 ms on a v5e VPU and dwarfed by the exchange it
+    feeds.  A two-level searchsorted would be O(n log P) but needs
+    per-splitter tie-range refinement that does not vectorize with
+    jnp.searchsorted; revisit only if profiles show this pass."""
     if len(domain) == 1:
         return jnp.searchsorted(domain[0], splitters[0],
                                 side="left").astype(jnp.int32)

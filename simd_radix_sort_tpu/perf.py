@@ -244,8 +244,8 @@ def perf_test_block(num: int, key_dtype, payload_dtypes,
 
 def perf_test_thresh(num: int, key_dtype, payload_dtypes,
                      thresholds=(128, 256, 512, 1024, 2048, 4096),
-                     distribution=D.Distribution.UNIFORM, seed: int = 1,
-                     method: str = "quick") -> str:
+                     distribution=D.Distribution.UNIFORM,
+                     seed: int = 1) -> str:
     """cmpSortThreshold sweep (perfTestThresh, perf.hpp:159-212): the
     device quicksort's block_threshold sets the target segment size of the
     sampled-splitter partition — the same pass-count vs base-case-cost
@@ -269,7 +269,7 @@ def perf_test_thresh(num: int, key_dtype, payload_dtypes,
             key_dtype=np.float64 if key_is_f64 else None))
         sec = _time_pipelined(fn, [(kd, pays)], reps)
         rows.append((t, f"{sec / max(num, 1) * 1e9:.4f}"))
-    name = ("thresh-" + method + "-"
+    name = ("thresh-quick-"
             + "-".join([common.type_name(key_dtype)]
                        + [common.type_name(p) for p in payload_dtypes]
                        + [distribution.value, str(num)]) + ".dat")

@@ -119,7 +119,7 @@ def test_distributed_join(dtype):
     bp = rng.integers(0, 2**63, n_b, dtype=np.uint64)
     # ~23 expected matches per probe key -> ~900 output rows per device;
     # size the static output capacity above that
-    counts, k_out, opp, obp, ov = dist_ops.distributed_join(
+    counts, k_out, opp, obp, ov, meta = dist_ops.distributed_join(
         pk, (pp,), bk, (bp,), out_rows_per_device=4096)
     assert not np.asarray(ov).any()
     gk, (gpp,), (gbp,) = dist_ops.gather_joined(counts, k_out, opp, obp)
@@ -140,7 +140,7 @@ def test_distributed_join_skewed_keys():
     pp = np.arange(n, dtype=np.int32)
     bp = np.arange(n, dtype=np.int32) * 2
     # key 7 alone produces (n/4)*(n/8) = 8192 pairs, all on ONE device
-    counts, k_out, opp, obp, ov = dist_ops.distributed_join(
+    counts, k_out, opp, obp, ov, meta = dist_ops.distributed_join(
         pk, (pp,), bk, (bp,), capacity_factor=8.0,
         out_rows_per_device=16384)
     assert not np.asarray(ov).any()
@@ -149,7 +149,7 @@ def test_distributed_join_skewed_keys():
     want = _np_inner_join(pk.tolist(), pp.tolist(), bk.tolist(), bp.tolist())
     assert got == want
     # tiny output capacity must flag overflow
-    _, _, _, _, ov2 = dist_ops.distributed_join(
+    _, _, _, _, ov2, _ = dist_ops.distributed_join(
         pk, (pp,), bk, (bp,), capacity_factor=8.0, out_rows_per_device=4)
     assert np.asarray(ov2).any()
 
@@ -157,7 +157,36 @@ def test_distributed_join_skewed_keys():
 def test_distributed_join_no_matches():
     pk = np.arange(8 * 32, dtype=np.uint32)
     bk = pk + 1_000_000
-    counts, k_out, opp, obp, ov = dist_ops.distributed_join(
+    counts, k_out, opp, obp, ov, meta = dist_ops.distributed_join(
         pk, (), bk, ())
     assert not np.asarray(ov).any()
     assert int(np.asarray(counts).sum()) == 0
+
+
+def test_distributed_join_float64_keys():
+    """f64 keys cross the device boundary as u64 bits and come back as
+    float64 via meta (the lossy-TPU protocol; exact on the CPU mesh too)."""
+    rng = np.random.default_rng(42)
+    n = 8 * 64
+    pool = np.concatenate([rng.normal(0, 10, 38),
+                           [1e300, -0.0]]).astype(np.float64)
+    pk = rng.choice(pool, n)
+    bk = rng.choice(pool[:20], n // 2)
+    pp = np.arange(n, dtype=np.int32)
+    bp = np.arange(n // 2, dtype=np.int32)
+    counts, k_out, opp, obp, ov, meta = dist_ops.distributed_join(
+        pk, (pp,), bk, (bp,), capacity_factor=4.0,
+        out_rows_per_device=16384)
+    assert not np.asarray(ov).any()
+    gk, (gpp,), (gbp,) = dist_ops.gather_joined(counts, k_out, opp, obp,
+                                                meta)
+    assert gk.dtype == np.float64
+    got = sorted(zip(gk.view(np.uint64).tolist(), gpp.tolist(),
+                     gbp.tolist()))
+    want = sorted((np.array(k, np.float64).view(np.uint64).item(),
+                   int(pp[i]), int(bp[j]))
+                  for i, k in enumerate(pk)
+                  for j, kb in enumerate(bk)
+                  if np.array(kb, np.float64).view(np.uint64)
+                  == np.array(k, np.float64).view(np.uint64))
+    assert got == want
