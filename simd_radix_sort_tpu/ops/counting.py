@@ -104,30 +104,46 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def mxu_histogram_256(v: jax.Array) -> jax.Array:
-    """256-bucket histogram via an MXU joint nibble outer product:
-    hist[16*hi + lo] = one_hot(v >> 4)^T @ one_hot(v & 15).
+def mxu_histogram(v: jax.Array, k: int) -> jax.Array:
+    """k-bucket histogram via an MXU joint outer product of the value's
+    high/low bit halves: hist[a*lo_size + b] = one_hot(v >> s)^T @
+    one_hot(v & (lo_size-1)) for k = hi_size * lo_size (powers of two).
 
-    The 256 per-bucket equality tests of the VPU formulation become a
-    16x16 bf16 matmul accumulation on the MXU (one-hot values 0/1 are
-    exact in bf16; f32 accumulation is exact below 2^24 rows per chunk,
-    i32 across chunks).  Measured end-to-end this lifts the u8 sort from
-    4.16 to 4.62 Gelem/s at n=1e8 (scripts/u8_attack.py) — past IPP's
-    4.43 G LSD radix (BASELINE.md), the reference suite's strongest
-    narrow-key baseline."""
+    The k per-bucket equality tests of the VPU formulation become a
+    (hi_size x lo_size) bf16 matmul accumulation on the MXU (one-hot
+    values 0/1 are exact in bf16; f32 accumulation is exact below 2^24
+    rows per chunk, i32 across chunks).  Constructing the one-hots
+    per-chunk inside the jit keeps the (n, hi/lo_size) operands out of
+    HBM — the full-materialization variant measures 4.88 vs the shipped
+    8.03 Gelem/s end-to-end at k=256 (scripts/u8_attack.py).  Values
+    outside [0, k) are dropped (no bucket matches)."""
+    assert k & (k - 1) == 0 and k >= 4, k
+    lo_bits = k.bit_length() // 2
+    hi_size = k >> lo_bits
+    lo_size = 1 << lo_bits
     x = v.astype(jnp.int32)
-    iota = jnp.arange(16, dtype=jnp.int32)
+    iota_hi = jnp.arange(hi_size, dtype=jnp.int32)
+    iota_lo = jnp.arange(lo_size, dtype=jnp.int32)
     n = x.shape[0]
-    chunk = 1 << 23
-    acc = jnp.zeros((16, 16), jnp.int32)
+    # bound the materialized one-hot chunk to ~128 MB total
+    chunk = max(1 << 12, min(1 << 23, (1 << 25) // max(hi_size, lo_size)))
+    acc = jnp.zeros((hi_size, lo_size), jnp.int32)
     for s in range(0, max(n, 1), chunk):
         part = x[s:s + chunk]
-        oh_hi = (part[:, None] >> 4 == iota[None, :]).astype(jnp.bfloat16)
-        oh_lo = (part[:, None] & 15 == iota[None, :]).astype(jnp.bfloat16)
+        oh_hi = (part[:, None] >> lo_bits
+                 == iota_hi[None, :]).astype(jnp.bfloat16)
+        oh_lo = (part[:, None] & (lo_size - 1)
+                 == iota_lo[None, :]).astype(jnp.bfloat16)
+        # drop out-of-range values: their hi one-hot row is all zero
         h = jnp.einsum("ni,nj->ij", oh_hi, oh_lo,
                        preferred_element_type=jnp.float32)
         acc = acc + h.astype(jnp.int32)
-    return acc.reshape(256)
+    return acc.reshape(k)
+
+
+def mxu_histogram_256(v: jax.Array) -> jax.Array:
+    """256-bucket histogram (the u8 path) — see mxu_histogram."""
+    return mxu_histogram(v, 256)
 
 
 def counting_sort_carrier(u: jax.Array, k: int, base) -> jax.Array:
@@ -139,9 +155,11 @@ def counting_sort_carrier(u: jax.Array, k: int, base) -> jax.Array:
     if _use_pallas():
         from . import pallas_hist
         offsets = (u - base).astype(jnp.int32)  # in [0, k) by contract
-        if k == 256:
-            hist = mxu_histogram_256(offsets)  # MXU path (see above)
+        if k >= 256:
+            hist = mxu_histogram(offsets, k)  # MXU path (see above)
         else:
+            # tiny K: a 4xK matmul wastes the MXU; the VPU accumulator
+            # is already ~memory-bound
             hist = pallas_hist.histogram(offsets, k)
         return pallas_hist.fill_runs(hist, u.shape[0],
                                      base.astype(jnp.int32), u.dtype)
@@ -157,6 +175,11 @@ def sort_keys(keys: jax.Array, ascending: bool = True, key_dtype=None):
         return keys, ()
     (u,) = transforms.key_operands(keys, ascending, key_dtype)
 
+    # NOTE a fixed 65536-bucket path for 2-byte keys was measured and
+    # rejected: the run fill's per-boundary painting is O(K * BLOCK) once
+    # boundaries outnumber output blocks, leaving it 2.3x behind the
+    # comparison sort even at n=1e8 (0.27 vs 0.61 Gelem/s) — see
+    # DESIGN_NOTES.md.  2-byte keys use the adaptive path below.
     if dtype.itemsize == 1:
         out = counting_sort_carrier(u, 256, 0)
     else:
