@@ -343,4 +343,88 @@ int srs_unpack_rows(int ncols, void **cols, const int32_t *sizes, int64_t n,
   return stride;
 }
 
+
+// ---------------------------------------------------------------------------
+// Native LSD byte-radix argsort — the framework's own vendored-baseline
+// equivalent (the role bramas/blacher/IPP play in the reference suite,
+// sort_methods.hpp:270-347): a real native-code sorter driven through the
+// same method facade.  Operates on the order-preserving unsigned carrier
+// the Python side already produces (utils/transforms.py); returns the
+// stable sorting permutation so payload streams of any dtype can be
+// gathered vectorized in NumPy.
+//
+// Threaded classic parallel LSD: per-pass [thread][256] histograms, an
+// exclusive scan over (digit, thread), then each thread scatters its range
+// at its precomputed offsets — stable because thread ranges preserve input
+// order within a digit.
+int srs_radix_argsort(int key_size, const void *keys, int64_t n,
+                      int64_t *perm_out) {
+  if (key_size != 1 && key_size != 2 && key_size != 4 && key_size != 8)
+    return -1;
+  if (n <= 0) return 0;
+  const uint8_t *kb = (const uint8_t *)keys;
+  auto key_at = [&](int64_t i) -> uint64_t {
+    uint64_t v = 0;
+    std::memcpy(&v, kb + i * key_size, key_size);  // little-endian
+    return v;
+  };
+  std::vector<uint64_t> ka((size_t)n), kbuf((size_t)n);
+  std::vector<int64_t> ia((size_t)n), ibuf((size_t)n);
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      ka[(size_t)i] = key_at(i);
+      ia[(size_t)i] = i;
+    }
+  });
+
+  const int t = num_threads();
+  const int64_t chunk = (n + t - 1) / t;
+  std::vector<int64_t> counts((size_t)t * 256);
+  for (int pass = 0; pass < key_size; pass++) {
+    const int shift = 8 * pass;
+    std::fill(counts.begin(), counts.end(), 0);
+    {
+      std::vector<std::thread> ths;
+      for (int w = 0; w < t; w++) {
+        ths.emplace_back([&, w]() {
+          int64_t lo = w * chunk, hi = std::min<int64_t>(n, lo + chunk);
+          int64_t *c = counts.data() + (size_t)w * 256;
+          for (int64_t i = lo; i < hi; i++)
+            c[(ka[(size_t)i] >> shift) & 0xFF]++;
+        });
+      }
+      for (auto &th : ths) th.join();
+    }
+    // exclusive scan in (digit, thread) order keeps the pass stable
+    int64_t sum = 0;
+    for (int d = 0; d < 256; d++) {
+      for (int w = 0; w < t; w++) {
+        int64_t &c = counts[(size_t)w * 256 + d];
+        int64_t v = c;
+        c = sum;
+        sum += v;
+      }
+    }
+    {
+      std::vector<std::thread> ths;
+      for (int w = 0; w < t; w++) {
+        ths.emplace_back([&, w]() {
+          int64_t lo = w * chunk, hi = std::min<int64_t>(n, lo + chunk);
+          int64_t *c = counts.data() + (size_t)w * 256;
+          for (int64_t i = lo; i < hi; i++) {
+            int64_t pos = c[(ka[(size_t)i] >> shift) & 0xFF]++;
+            kbuf[(size_t)pos] = ka[(size_t)i];
+            ibuf[(size_t)pos] = ia[(size_t)i];
+          }
+        });
+      }
+      for (auto &th : ths) th.join();
+    }
+    ka.swap(kbuf);
+    ia.swap(ibuf);
+  }
+  std::memcpy(perm_out, ia.data(), (size_t)n * sizeof(int64_t));
+  return 0;
+}
+
 }  // extern "C"

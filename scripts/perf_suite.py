@@ -38,7 +38,7 @@ from simd_radix_sort_tpu.utils import data as D  # noqa: E402
 # device engines + host baselines (seq/torch play the STLSort/IPP role,
 # sort_methods.hpp:246-347).  rank is size-capped and appears in the
 # small-n tables below.
-METHODS = ["xla", "radix", "count", "quick", "seq", "torch"]
+METHODS = ["xla", "radix", "count", "quick", "seq", "torch", "cpp"]
 
 TYPE_COMBOS = [
     (np.int32, ()),

@@ -39,7 +39,7 @@ PAYLOADS = [
     (np.uint8,) * 3,
 ]
 
-METHODS = ["xla", "radix", "count", "rank", "quick", "quickseq", "torch", "seq"]
+METHODS = ["xla", "radix", "count", "rank", "quick", "quickseq", "torch", "seq", "cpp"]
 
 
 def run_cell(method, combined, up, kdt, pdts, dist, num, seed):

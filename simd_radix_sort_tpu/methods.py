@@ -20,6 +20,8 @@ Methods:
   * "quickseq" — host model with the reference's exact pivot/recursion
                semantics (QuickSeq role; differential oracle)
   * "torch"  — torch.sort host baseline (external-comparison role)
+  * "cpp"    — native threaded C++ LSD byte radix (harness.cpp; the
+               vendored-native-baseline role)
   * "seq"    — host NumPy stable-argsort model (BitSorterSequential
                analogue; differential baseline)
 Special selectors: "auto" (static policy), "autotune" (measured, cached).
@@ -127,6 +129,16 @@ def _run_torch(keys, payloads, **kw):
     return _host_method(torch_baseline.sort_np)(keys, payloads, **kw)
 
 
+def _run_cpp(keys, payloads, **kw):
+    from .utils import native
+    return _host_method(native.sort_np)(keys, payloads, **kw)
+
+
+def _cpp_supports(key_dtype, payload_dtypes, n) -> bool:
+    from .utils import native
+    return native.available()
+
+
 def _count_supports(key_dtype, payload_dtypes, n) -> bool:
     from .ops import counting
     return counting.supports(key_dtype, payload_dtypes, n)
@@ -152,6 +164,10 @@ register(SortMethod("quickseq", _run_quickseq, _supports_all,
                     has_threshold=True, device=False))
 register(SortMethod("torch", _run_torch, _supports_all, device=False))
 register(SortMethod("seq", _run_seq, _supports_all, device=False))
+# the framework's own native-code baseline (threaded C++ LSD byte radix,
+# native/harness.cpp srs_radix_argsort) — the role the reference's vendored
+# bramas/blacher/IPP baselines play (sort_methods.hpp:270-347)
+register(SortMethod("cpp", _run_cpp, _cpp_supports, device=False))
 
 
 # Measured engine crossovers for the static "auto" policy (round-2

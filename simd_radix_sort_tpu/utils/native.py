@@ -64,6 +64,9 @@ def lib() -> ctypes.CDLL:
         L.srs_unpack_rows.argtypes = [
             ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_void_p]
+        L.srs_radix_argsort.restype = ctypes.c_int
+        L.srs_radix_argsort.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                                        ctypes.c_int64, ctypes.c_void_p]
         _lib = L
     return _lib
 
@@ -177,3 +180,29 @@ def unpack_rows(packed: np.ndarray, key_dtype, payload_dtypes=()):
                                 packed.ctypes.data)
     assert got == stride
     return cols[0], tuple(cols[1:])
+
+
+def radix_argsort(carrier: np.ndarray) -> np.ndarray:
+    """Stable sorting permutation of an unsigned carrier array via the
+    native threaded LSD byte radix (harness.cpp srs_radix_argsort) — the
+    framework's own native-code baseline sorter (the bramas/blacher/IPP
+    role of the reference suite)."""
+    carrier = np.ascontiguousarray(carrier)
+    assert carrier.dtype.kind == "u", carrier.dtype
+    perm = np.empty(carrier.shape[0], dtype=np.int64)
+    rc = lib().srs_radix_argsort(carrier.dtype.itemsize, _ptr(carrier),
+                                 carrier.shape[0], _ptr(perm))
+    if rc != 0:
+        raise RuntimeError(f"srs_radix_argsort failed ({rc})")
+    return perm
+
+
+def sort_np(keys: np.ndarray, *payloads: np.ndarray, ascending: bool = True):
+    """Host sort via the native radix argsort: transform keys to the
+    unsigned carrier, argsort natively, gather keys+payloads vectorized.
+    Returns (keys_sorted, *payloads_sorted) — the "cpp" registry method."""
+    from . import transforms
+    u = transforms.to_sortable_np(np.asarray(keys), ascending)
+    perm = radix_argsort(u)
+    return (np.asarray(keys)[perm],) + tuple(np.asarray(p)[perm]
+                                             for p in payloads)

@@ -78,7 +78,7 @@ def test_payload_shapes(shape):
              1000, "xla", True)
 
 
-@pytest.mark.parametrize("method", ["xla", "radix", "rank", "seq", "quick", "quickseq", "torch"])
+@pytest.mark.parametrize("method", ["xla", "radix", "rank", "seq", "quick", "quickseq", "torch", "cpp"])
 @pytest.mark.parametrize("key_dtype", [np.uint32, np.int64, np.float64,
                                        np.uint8], ids=common.type_name)
 def test_methods_agree(method, key_dtype):
