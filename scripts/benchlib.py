@@ -1,0 +1,43 @@
+"""Shared harness for the standalone measurement scripts in scripts/.
+
+Centralizes the three things every script needs (they were copy-pasted
+four times before this): jax setup with x64 + the persistent compile
+cache, the pipelined-reps/one-fence timer, and the host fence that
+actually completes work through the axon tunnel (block_until_ready does
+not)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+# persistent compile cache: axon remote compiles take 20-60 s per shape,
+# one line makes re-runs ~free (measured 16.2 s -> 0.1 s)
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+
+
+def fence(out) -> None:
+    """Force completion with a host fetch (tunnel-safe fence)."""
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+
+
+def timeit(fn, args, reps: int = 5, warmup: int = 2) -> float:
+    """Seconds per call: warm up, dispatch reps back-to-back, fence ONCE
+    (per-rep fences measure the tunnel, not the chip — BENCH_NOTES.md)."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    fence(out)
+    return (time.perf_counter() - t0) / reps

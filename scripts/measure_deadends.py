@@ -13,35 +13,10 @@ syncs measure the axon tunnel, not the chip.
 """
 
 import argparse
-import os
-import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-import jax
-
-jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from benchlib import fence as _fence, jax, np, timeit  # noqa: F401
 import jax.numpy as jnp
-import numpy as np
-
-
-def timeit(fn, args, reps=5, warmup=1):
-    for _ in range(warmup):
-        out = fn(*args)
-    _fence(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    _fence(out)
-    return (time.perf_counter() - t0) / reps
-
-
-def _fence(out):
-    leaves = jax.tree_util.tree_leaves(out)
-    np.asarray(leaves[0].ravel()[:1])
 
 
 def report(name, rate, unit, claim):

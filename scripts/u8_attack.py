@@ -17,30 +17,9 @@ Run with the chip idle: JAX_ENABLE_X64=1 python scripts/u8_attack.py
 """
 
 import argparse
-import os
-import sys
-import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-import jax
-
-jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from benchlib import jax, np, timeit  # noqa: F401  (jax configured there)
 import jax.numpy as jnp
-import numpy as np
-
-
-def timeit(fn, args, reps=5, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
-    return (time.perf_counter() - t0) / reps
 
 
 def mxu_histogram_fullmat(v8: jax.Array) -> jax.Array:

@@ -15,7 +15,6 @@ Returns padded, static-shape results + num_groups, the XLA idiom.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

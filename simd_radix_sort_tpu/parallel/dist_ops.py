@@ -18,7 +18,6 @@ parallel/dist_sort: per-device valid counts travel with the data.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

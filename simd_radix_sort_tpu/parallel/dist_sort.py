@@ -42,7 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..utils import common, transforms
+from ..utils import transforms
+
 
 DEFAULT_AXIS = "x"
 
