@@ -16,6 +16,7 @@ from .ops.sort import (
     pack_rows,
     sort,
     sort_batched,
+    sort_multi,
     sort_packed,
     sort_with_payloads,
     unpack_rows,
@@ -29,6 +30,7 @@ __all__ = [
     "sort",
     "argsort",
     "sort_batched",
+    "sort_multi",
     "sort_with_payloads",
     "sort_packed",
     "pack_rows",

@@ -231,6 +231,50 @@ def _stage_keys_host(keys):
     return jnp.asarray(keys), None
 
 
+def sort_multi(keys_columns, *payloads, ascending=True, stable: bool = False):
+    """Composite (multi-column) lexicographic sort: order rows by the
+    first key column, ties by the second, and so on — the ORDER BY of the
+    query-operator set.  Not in the reference (single key type per sort);
+    it falls out of the variadic-carrier architecture: each column's
+    order-preserving words simply concatenate into one lax.sort key list.
+
+    `keys_columns` is a tuple of 1-D arrays (any mix of supported key
+    dtypes); `ascending` is one bool or a per-column tuple.  Returns
+    (sorted_key_columns_tuple, sorted_payloads_tuple).  Jittable for
+    non-f64 columns; f64 columns use the same bits protocol as sort().
+    """
+    keys_columns = tuple(keys_columns)
+    if not keys_columns:
+        raise ValueError("sort_multi needs at least one key column")
+    if isinstance(ascending, bool):
+        ascending = (ascending,) * len(keys_columns)
+    if len(ascending) != len(keys_columns):
+        raise ValueError("one ascending flag per key column")
+
+    staged = [_stage_keys_host(k) for k in keys_columns]
+    kops_per_col = []
+    for (kd, kdt), up in zip(staged, ascending):
+        kops_per_col.append(transforms.key_operands(kd, up, kdt))
+    all_kops = tuple(w for ops in kops_per_col for w in ops)
+    pays = tuple(jnp.asarray(np.asarray(p)) for p in payloads)
+
+    out = jax.lax.sort(all_kops + pays, num_keys=len(all_kops),
+                       is_stable=stable)
+    cols_out = []
+    i = 0
+    for (kd, kdt), up, (orig, ops) in zip(staged, ascending,
+                                          zip(keys_columns, kops_per_col)):
+        words = out[i: i + len(ops)]
+        i += len(ops)
+        col = transforms.keys_from_operands(
+            tuple(words), kdt or np.asarray(orig).dtype, up,
+            as_bits=kdt is not None)
+        if kdt is not None:  # f64 bits back to host float64
+            col = np.asarray(col).view(np.float64)
+        cols_out.append(col)
+    return tuple(cols_out), tuple(out[i:])
+
+
 def argsort(keys, ascending: bool = True, stable: bool = True):
     """Permutation that sorts `keys` — int32 indices.  Jittable.
 

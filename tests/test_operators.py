@@ -263,3 +263,35 @@ def test_top_k_64bit_large_k_fallback():
     k = 8000  # 2k >= block size -> single-sort fallback
     (kk,) = topk.top_k(jnp.asarray(keys), k=k)
     assert np.array_equal(np.asarray(kk), np.sort(keys)[::-1][:k])
+
+
+def test_sort_multi_composite_keys():
+    """ORDER BY col1, col2 DESC: composite lexicographic sort with mixed
+    dtypes and per-column directions."""
+    import simd_radix_sort_tpu as srs
+    rng = np.random.default_rng(70)
+    n = 5000
+    c1 = rng.integers(0, 20, n).astype(np.int16)
+    c2 = rng.normal(0, 1, n).astype(np.float32)
+    pay = np.arange(n, dtype=np.uint32)
+    (o1, o2), (op,) = srs.sort_multi((c1, c2), pay,
+                                     ascending=(True, False), stable=True)
+    o1, o2, op = np.asarray(o1), np.asarray(o2), np.asarray(op)
+    order = np.lexsort((np.arange(n), -c2, c1))  # stable: c1 asc, c2 desc
+    assert np.array_equal(o1, c1[order])
+    assert np.array_equal(o2, c2[order])
+    assert np.array_equal(op, pay[order])
+
+
+def test_sort_multi_u64_and_f64_columns():
+    import simd_radix_sort_tpu as srs
+    rng = np.random.default_rng(71)
+    n = 2000
+    c1 = rng.integers(0, 5, n).astype(np.uint64) << np.uint64(40)
+    c2 = rng.choice(np.array([1.5, -2.25, 0.0, 3e200], np.float64), n)
+    (o1, o2), _ = srs.sort_multi((c1, c2), stable=True)
+    o1 = np.asarray(o1)
+    o2 = np.asarray(o2)
+    order = np.lexsort((c2, c1))
+    assert np.array_equal(o1, c1[order])
+    assert np.array_equal(o2, c2[order])
