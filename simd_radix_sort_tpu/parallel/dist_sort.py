@@ -228,6 +228,53 @@ def merge_payload_streams(ops, dtypes):
     return tuple(out)
 
 
+def splitter_sort_core(kops, pl_ops, axis: str, num_p: int, cap_recv: int,
+                       samples_per_shard: int, use_ragged: bool):
+    """The splitter sort's per-device body (call inside shard_map):
+
+      1. local sort of all streams keyed on the key words;
+      2. sample/search domain (key words..., pos) — pure u32 words,
+         exactly tie-broken by a device-interleaved post-sort position so
+         duplicate-heavy inputs stay balanced (a packed-u64 formulation
+         silently truncates when x64 is off; pos fits 32 bits for global
+         n < 2^32 and is increasing within equal keys, so the domain is
+         sorted);
+      3. splitters from gathered samples, bucket boundaries in the sorted
+         shard, ragged all-to-all over ICI — buckets are contiguous runs
+         of the sorted shard, so the shard itself is the send operand,
+         zero send-side copies (SURVEY.md section 2.11 "TPU-native
+         plan");
+      4. final local sort; buffer-padding rows carry an invalid flag as
+         the primary key so they collect last.
+
+    `kops` may hold ANY number of lexicographic key words (one 32-bit
+    column, a (hi, lo) 64-bit carrier, or several columns' words
+    concatenated — the multi-column ORDER BY).  Returns
+    (kops_final, pays_final, count, overflow)."""
+    my = jax.lax.axis_index(axis)
+    n_local = kops[0].shape[0]
+    nk = len(kops)
+    sorted_ops = jax.lax.sort(tuple(kops) + tuple(pl_ops), num_keys=nk,
+                              is_stable=False)
+    kops_s = sorted_ops[:nk]
+    pays_s = sorted_ops[nk:]
+    pos = (jnp.arange(n_local, dtype=jnp.uint32)
+           * jnp.uint32(num_p) + my.astype(jnp.uint32))
+    domain = tuple(kops_s) + (pos,)
+
+    splitters = gather_splitters(domain, axis, num_p - 1, samples_per_shard)
+    bounds = lex_bounds(domain, splitters)
+    recv_ops, total_recv, overflow = exchange_by_bounds(
+        tuple(kops_s) + tuple(pays_s), bounds, axis, cap_recv, use_ragged)
+
+    invalid = (jnp.arange(cap_recv, dtype=jnp.int32)
+               >= total_recv).astype(jnp.uint8)
+    merged = jax.lax.sort((invalid,) + tuple(recv_ops), num_keys=1 + nk,
+                          is_stable=False)
+    return (merged[1:1 + nk], merged[1 + nk:],
+            total_recv.astype(jnp.int32), overflow)
+
+
 def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
                              axis: str = DEFAULT_AXIS, ascending: bool = True,
                              capacity_factor: float = 2.0,
@@ -261,47 +308,11 @@ def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
         return merge_payload_streams(ops, pl_dtypes)
 
     def local_fn(keys_l, *payloads_l):
-        my = jax.lax.axis_index(axis)
         kops = transforms.key_operands(keys_l, ascending, key_dtype)
         payloads_l = _split_payloads(payloads_l)
-
-        # 1. local sort (valid flag rides along for later reuse)
-        sorted_ops = jax.lax.sort(tuple(kops) + tuple(payloads_l),
-                                  num_keys=len(kops), is_stable=False)
-        kops_s = sorted_ops[: len(kops)]
-        pays_s = sorted_ops[len(kops):]
-        # sample/search domain: (key words..., pos) u32 lexicographic,
-        # exactly tie-broken by a device-interleaved post-sort position so
-        # duplicate-heavy inputs stay balanced (the skew-repartition
-        # requirement of the north star).  Pure u32 words — a packed-u64
-        # formulation silently truncates when x64 is off (pos fits 32
-        # bits for global n < 2^32; positions are increasing within equal
-        # keys by construction, so the domain is sorted).
-        pos = (jnp.arange(n_local, dtype=jnp.uint32)
-               * jnp.uint32(num_p) + my.astype(jnp.uint32))
-        domain = tuple(kops_s) + (pos,)
-
-        # 2. splitters from gathered samples; 3. bucket boundaries in my
-        # sorted shard (bucket p = rows for device p); 4. ragged
-        # all-to-all over ICI — buckets are already contiguous in the
-        # sorted shard, so the shard itself is the send operand, zero
-        # send-side copies (SURVEY.md section 2.11 "TPU-native plan")
-        splitters = gather_splitters(domain, axis, num_p - 1, s_per_dev)
-        bounds = lex_bounds(domain, splitters)
-        recv_ops, total_recv, overflow = exchange_by_bounds(
-            tuple(kops_s) + tuple(pays_s), bounds, axis, cap_recv,
-            use_ragged)
-
-        # 5. final local sort; rows past total_recv are buffer padding and
-        # carry an invalid flag as the primary key so they collect last
-        invalid = (jnp.arange(cap_recv, dtype=jnp.int32)
-                   >= total_recv).astype(jnp.uint8)
-        merged = jax.lax.sort((invalid,) + tuple(recv_ops),
-                              num_keys=1 + len(kops), is_stable=False)
-        kops_f = merged[1: 1 + len(kops)]
-        pays_f = merged[1 + len(kops):]
-        count = total_recv.astype(jnp.int32)
-
+        kops_f, pays_f, count, overflow = splitter_sort_core(
+            tuple(kops), tuple(payloads_l), axis, num_p, cap_recv,
+            s_per_dev, use_ragged)
         keys_out = transforms.keys_from_operands(
             tuple(kops_f), kdt, ascending, as_bits=key_dtype is not None)
         return (keys_out, _merge_payloads(pays_f), count[None],
@@ -363,6 +374,114 @@ def distributed_sort(keys, *payloads, mesh: Mesh | None = None,
             break
         cap = min(cap * 2.0, float(num_p))
     return out_keys, out_pays, counts, overflow, meta
+
+
+def distributed_sort_multi(keys_columns, *payloads,
+                           mesh: Mesh | None = None,
+                           axis: str = DEFAULT_AXIS, ascending=True,
+                           capacity_factor: float = 2.0,
+                           samples_per_device: int = 256,
+                           use_ragged: bool | None = None):
+    """Distributed composite ORDER BY: sort row-sharded tables by several
+    key columns lexicographically (per-column asc/desc), scaling the
+    single-chip `srs.sort_multi` over the mesh.
+
+    Each column's order-preserving carrier words concatenate into the
+    splitter-sort core's key-word list — the sampling, tie-break,
+    exchange, and merge machinery is identical to the single-key sort.
+    Returns (padded_key_columns_tuple, padded_payloads, counts, overflow,
+    meta); gather with `gather_result_multi`."""
+    if mesh is None:
+        mesh = make_mesh()
+    keys_columns = tuple(keys_columns)
+    if not keys_columns:
+        raise ValueError("need at least one key column")
+    if isinstance(ascending, bool):
+        ascending = (ascending,) * len(keys_columns)
+    lossy_f64 = jax.default_backend() != "cpu"
+
+    def _host_bits(x):
+        x = np.asarray(x)
+        if lossy_f64 and x.dtype == np.float64:
+            return x.view(np.uint64), np.dtype(np.float64)
+        return x, None
+
+    staged = [_host_bits(c) for c in keys_columns]
+    pl_staged = [_host_bits(p) for p in payloads]
+    col_dtypes = [dt for _, dt in staged]          # f64-as-bits markers
+    col_logical = [dt or c.dtype for (c, dt) in staged]
+    pl_f64 = [dt for _, dt in pl_staged]
+    pl_arrays = tuple(p for p, _ in pl_staged)
+    pl_dtypes = [np.dtype(p.dtype) for p in pl_arrays]
+    meta = {"key_dtypes": col_dtypes, "payload_dtypes": pl_f64}
+
+    num_p = mesh.shape[axis]
+    n = staged[0][0].shape[0]
+    if n % num_p:
+        raise ValueError(f"global length {n} not divisible by {num_p}")
+    cap_recv = max(int(math.ceil(capacity_factor * (n // num_p))), 1)
+    s_per_dev = min(n // num_p, samples_per_device) or 1
+    use_ragged_b = default_use_ragged(use_ragged)
+
+    sharding = NamedSharding(mesh, P(axis))
+    cols_d = tuple(jax.device_put(jnp.asarray(c), sharding)
+                   for c, _ in staged)
+    pays_d = tuple(jax.device_put(jnp.asarray(p), sharding)
+                   for p in pl_arrays)
+
+    def local_fn(*streams):
+        cols_l = streams[:len(cols_d)]
+        pays_l = streams[len(cols_d):]
+        per_col_ops = [transforms.key_operands(c, up, dt)
+                       for c, up, dt in zip(cols_l, ascending, col_dtypes)]
+        word_counts = [len(ops) for ops in per_col_ops]
+        kops = tuple(w for ops in per_col_ops for w in ops)
+        pl_ops = split_payload_streams(pays_l, pl_dtypes)
+
+        kops_f, pays_f, count, overflow = splitter_sort_core(
+            kops, tuple(pl_ops), axis, num_p, cap_recv, s_per_dev,
+            use_ragged_b)
+
+        cols_out = []
+        i = 0
+        for wcount, up, dt, logical in zip(word_counts, ascending,
+                                           col_dtypes, col_logical):
+            words = kops_f[i: i + wcount]
+            i += wcount
+            cols_out.append(transforms.keys_from_operands(
+                tuple(words), logical, up, as_bits=dt is not None))
+        return (tuple(cols_out),
+                merge_payload_streams(pays_f, pl_dtypes),
+                count[None], overflow[None])
+
+    shard = functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis),) * (len(cols_d) + len(pays_d)),
+        out_specs=(tuple(P(axis) for _ in cols_d),
+                   tuple(P(axis) for _ in pays_d), P(axis), P(axis)),
+    )
+    out_cols, out_pays, counts, overflow = jax.jit(
+        shard(local_fn))(*cols_d, *pays_d)
+    return out_cols, out_pays, counts, overflow, meta
+
+
+def gather_result_multi(out_cols, out_pays, counts, meta=None):
+    """Host-side gather for distributed_sort_multi: concatenate every
+    device's valid prefix for each key column and payload."""
+    first, rest = gather_result(
+        out_cols[0], tuple(out_cols[1:]) + tuple(out_pays), counts)
+    ncols = len(out_cols)
+    all_streams = [first] + list(rest)
+    cols_out = all_streams[:ncols]
+    pays_out = all_streams[ncols:]
+    if meta:
+        for i, dt in enumerate(meta.get("key_dtypes", [])):
+            if dt is not None:
+                cols_out[i] = cols_out[i].view(dt)
+        for i, dt in enumerate(meta.get("payload_dtypes", [])):
+            if dt is not None:
+                pays_out[i] = pays_out[i].view(dt)
+    return tuple(cols_out), tuple(pays_out)
 
 
 def gather_result(out_keys, out_pays, counts, meta=None):

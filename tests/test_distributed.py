@@ -132,3 +132,48 @@ def test_f64_payload_bits_preserved():
                                    pay.view(np.uint64).tolist())}
     for k, v in zip(got_k.tolist(), got_p.view(np.uint64).tolist()):
         assert m[int(k)] == v
+
+
+def test_distributed_sort_multi_composite():
+    """Distributed ORDER BY (c1 asc, c2 desc) across the mesh equals
+    np.lexsort on the gathered table."""
+    rng = np.random.default_rng(80)
+    n = 8 * 512
+    c1 = rng.integers(0, 30, n).astype(np.int32)
+    c2 = rng.normal(0, 1, n).astype(np.float32)
+    pay = np.arange(n, dtype=np.uint64)
+    cols, pays, counts, ov, meta = dist_sort.distributed_sort_multi(
+        (c1, c2), pay, ascending=(True, False))
+    assert not np.asarray(ov).any()
+    (g1, g2), (gp,) = dist_sort.gather_result_multi(cols, pays, counts,
+                                                    meta)
+    from simd_radix_sort_tpu.utils import transforms
+    u2 = transforms.to_sortable_np(c2, False)
+    order = np.lexsort((np.arange(n), u2, c1))
+    assert np.array_equal(g1, c1[order])
+    assert np.array_equal(g2, c2[order])
+    # payload order within exactly-tied (c1, c2) rows is unspecified (the
+    # merge sort is unstable): compare row TRIPLES as a multiset
+    trip = lambda a, b, p: np.sort((a.astype(np.uint64) << np.uint64(40))
+                                   ^ b.view(np.uint32).astype(np.uint64)
+                                   ^ (p << np.uint64(8)))
+    assert np.array_equal(trip(g1, g2, gp), trip(c1, c2, pay))
+
+
+def test_distributed_sort_multi_f64_and_duplicates():
+    """f64 column via the bits protocol + a constant first column (every
+    row ties on c1 — balance must come from the interleaved position)."""
+    rng = np.random.default_rng(81)
+    n = 8 * 256
+    c1 = np.zeros(n, dtype=np.uint8)
+    c2 = rng.choice(np.array([1.5, -2.25, 0.0, 3e200, -0.0], np.float64), n)
+    cols, pays, counts, ov, meta = dist_sort.distributed_sort_multi(
+        (c1, c2))
+    assert not np.asarray(ov).any()
+    (g1, g2), _ = dist_sort.gather_result_multi(cols, pays, counts, meta)
+    assert g2.dtype == np.float64
+    from simd_radix_sort_tpu.utils import transforms
+    u2 = transforms.to_sortable_np(c2, True)
+    assert np.array_equal(np.sort(u2), transforms.to_sortable_np(g2, True))
+    # balanced: no device holds more than capacity_factor * n/P
+    assert np.asarray(counts).max() <= 2 * (n // 8)
