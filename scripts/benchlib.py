@@ -35,6 +35,8 @@ def timeit(fn, args, reps: int = 5, warmup: int = 2) -> float:
     out = None
     for _ in range(warmup):
         out = fn(*args)
+    if out is None:  # warmup=0: prime once so the fence has a value
+        out = fn(*args)
     fence(out)
     t0 = time.perf_counter()
     for _ in range(reps):

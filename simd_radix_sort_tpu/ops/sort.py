@@ -22,13 +22,7 @@ from ..utils import common, transforms
 from . import xla_sort
 
 
-def _check_64bit_ok(dtype):
-    dtype = np.dtype(dtype)
-    if dtype.itemsize == 8 and not jax.config.read("jax_enable_x64"):
-        raise ValueError(
-            f"dtype {dtype} requires 64-bit mode; set JAX_ENABLE_X64=1 or "
-            'jax.config.update("jax_enable_x64", True) before creating arrays'
-        )
+_check_64bit_ok = common.check_64bit_ok
 
 
 def sort(keys, *payloads, ascending: bool | None = None,
@@ -240,8 +234,10 @@ def sort_multi(keys_columns, *payloads, ascending=True, stable: bool = False):
 
     `keys_columns` is a tuple of 1-D arrays (any mix of supported key
     dtypes); `ascending` is one bool or a per-column tuple.  Returns
-    (sorted_key_columns_tuple, sorted_payloads_tuple).  Jittable for
-    non-f64 columns; f64 columns use the same bits protocol as sort().
+    (sorted_key_columns_tuple, sorted_payloads_tuple).  Host-level entry
+    (like sort()): stages host arrays, guards 64-bit mode, and routes
+    f64 columns AND payloads through the bits protocol — f64 streams
+    come back as NumPy float64 arrays.
     """
     keys_columns = tuple(keys_columns)
     if not keys_columns:
@@ -256,23 +252,27 @@ def sort_multi(keys_columns, *payloads, ascending=True, stable: bool = False):
     for (kd, kdt), up in zip(staged, ascending):
         kops_per_col.append(transforms.key_operands(kd, up, kdt))
     all_kops = tuple(w for ops in kops_per_col for w in ops)
-    pays = tuple(jnp.asarray(np.asarray(p)) for p in payloads)
+    # payloads get the SAME staging as keys: 64-bit guard + f64-as-bits
+    # (f64 must never live on a TPU device — see sort())
+    pays_staged = [_stage_keys_host(p) for p in payloads]
+    pays = tuple(p for p, _ in pays_staged)
 
     out = jax.lax.sort(all_kops + pays, num_keys=len(all_kops),
                        is_stable=stable)
     cols_out = []
     i = 0
-    for (kd, kdt), up, (orig, ops) in zip(staged, ascending,
-                                          zip(keys_columns, kops_per_col)):
+    for (kd, kdt), up, ops in zip(staged, ascending, kops_per_col):
         words = out[i: i + len(ops)]
         i += len(ops)
         col = transforms.keys_from_operands(
-            tuple(words), kdt or np.asarray(orig).dtype, up,
-            as_bits=kdt is not None)
+            tuple(words), kdt or kd.dtype, up, as_bits=kdt is not None)
         if kdt is not None:  # f64 bits back to host float64
             col = np.asarray(col).view(np.float64)
         cols_out.append(col)
-    return tuple(cols_out), tuple(out[i:])
+    pays_out = tuple(
+        np.asarray(p).view(np.float64) if dt is not None else p
+        for p, (_, dt) in zip(out[i:], pays_staged))
+    return tuple(cols_out), pays_out
 
 
 def argsort(keys, ascending: bool = True, stable: bool = True):

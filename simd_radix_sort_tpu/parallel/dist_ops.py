@@ -182,18 +182,10 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
     # float64 never lives on a TPU device (lossy emulated storage; f64
     # bitcasts cannot lower) — stage f64 keys/payloads as u64 bits, hand
     # bits back through meta like distributed_sort does
-    lossy_f64 = jax.default_backend() != "cpu"
-
-    def _host_bits(x):
-        x = np.asarray(x)
-        if lossy_f64 and x.dtype == np.float64:
-            return x.view(np.uint64), np.dtype(np.float64)
-        return x, None
-
-    probe_keys, key_f64 = _host_bits(probe_keys)
-    build_keys, _ = _host_bits(build_keys)
-    pp_staged = [_host_bits(p) for p in probe_payloads]
-    bp_staged = [_host_bits(p) for p in build_payloads]
+    probe_keys, key_f64 = dist_sort.stage_host_bits(probe_keys)
+    build_keys, _ = dist_sort.stage_host_bits(build_keys)
+    pp_staged = [dist_sort.stage_host_bits(p) for p in probe_payloads]
+    bp_staged = [dist_sort.stage_host_bits(p) for p in build_payloads]
     probe_payloads = tuple(p for p, _ in pp_staged)
     build_payloads = tuple(p for p, _ in bp_staged)
     meta = {"key_dtype": key_f64,

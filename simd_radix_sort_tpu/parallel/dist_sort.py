@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..utils import transforms
+from ..utils import common, transforms
 
 
 DEFAULT_AXIS = "x"
@@ -342,16 +342,8 @@ def distributed_sort(keys, *payloads, mesh: Mesh | None = None,
     buckets."""
     if mesh is None:
         mesh = make_mesh()
-    lossy_f64 = jax.default_backend() != "cpu"
-
-    def _host_bits(x):
-        x = np.asarray(x)
-        if lossy_f64 and x.dtype == np.float64:
-            return x.view(np.uint64), np.dtype(np.float64)
-        return x, None
-
-    keys, key_dtype = _host_bits(keys)
-    pl = [_host_bits(p) for p in payloads]
+    keys, key_dtype = stage_host_bits(keys)
+    pl = [stage_host_bits(p) for p in payloads]
     payloads = tuple(p for p, _ in pl)
     meta = {"key_dtype": key_dtype, "payload_dtypes": [dt for _, dt in pl]}
 
@@ -376,11 +368,25 @@ def distributed_sort(keys, *payloads, mesh: Mesh | None = None,
     return out_keys, out_pays, counts, overflow, meta
 
 
+
+def stage_host_bits(x):
+    """Host staging shared by the distributed entries: guard 64-bit mode
+    (jnp.asarray silently truncates 64-bit streams when x64 is off) and
+    route float64 as u64 bits on lossy-f64 backends (TPU).  Returns
+    (array, f64_dtype_or_None)."""
+    x = np.asarray(x)
+    common.check_64bit_ok(x.dtype)
+    if jax.default_backend() != "cpu" and x.dtype == np.float64:
+        return x.view(np.uint64), np.dtype(np.float64)
+    return x, None
+
+
 def distributed_sort_multi(keys_columns, *payloads,
                            mesh: Mesh | None = None,
                            axis: str = DEFAULT_AXIS, ascending=True,
                            capacity_factor: float = 2.0,
                            samples_per_device: int = 256,
+                           max_retries: int = 2,
                            use_ragged: bool | None = None):
     """Distributed composite ORDER BY: sort row-sharded tables by several
     key columns lexicographically (per-column asc/desc), scaling the
@@ -398,16 +404,14 @@ def distributed_sort_multi(keys_columns, *payloads,
         raise ValueError("need at least one key column")
     if isinstance(ascending, bool):
         ascending = (ascending,) * len(keys_columns)
-    lossy_f64 = jax.default_backend() != "cpu"
+    if len(ascending) != len(keys_columns):
+        raise ValueError("one ascending flag per key column")
+    lengths = {np.asarray(c).shape[0] for c in keys_columns}
+    if len(lengths) != 1:
+        raise ValueError(f"key columns differ in length: {sorted(lengths)}")
 
-    def _host_bits(x):
-        x = np.asarray(x)
-        if lossy_f64 and x.dtype == np.float64:
-            return x.view(np.uint64), np.dtype(np.float64)
-        return x, None
-
-    staged = [_host_bits(c) for c in keys_columns]
-    pl_staged = [_host_bits(p) for p in payloads]
+    staged = [stage_host_bits(c) for c in keys_columns]
+    pl_staged = [stage_host_bits(p) for p in payloads]
     col_dtypes = [dt for _, dt in staged]          # f64-as-bits markers
     col_logical = [dt or c.dtype for (c, dt) in staged]
     pl_f64 = [dt for _, dt in pl_staged]
@@ -419,7 +423,6 @@ def distributed_sort_multi(keys_columns, *payloads,
     n = staged[0][0].shape[0]
     if n % num_p:
         raise ValueError(f"global length {n} not divisible by {num_p}")
-    cap_recv = max(int(math.ceil(capacity_factor * (n // num_p))), 1)
     s_per_dev = min(n // num_p, samples_per_device) or 1
     use_ragged_b = default_use_ragged(use_ragged)
 
@@ -429,7 +432,7 @@ def distributed_sort_multi(keys_columns, *payloads,
     pays_d = tuple(jax.device_put(jnp.asarray(p), sharding)
                    for p in pl_arrays)
 
-    def local_fn(*streams):
+    def local_fn(cap_recv, *streams):
         cols_l = streams[:len(cols_d)]
         pays_l = streams[len(cols_d):]
         per_col_ops = [transforms.key_operands(c, up, dt)
@@ -460,8 +463,18 @@ def distributed_sort_multi(keys_columns, *payloads,
         out_specs=(tuple(P(axis) for _ in cols_d),
                    tuple(P(axis) for _ in pays_d), P(axis), P(axis)),
     )
-    out_cols, out_pays, counts, overflow = jax.jit(
-        shard(local_fn))(*cols_d, *pays_d)
+    # elastic recovery, same protocol as distributed_sort: double the
+    # receive capacity on overflow until it fits or reaches a full shard
+    cap = capacity_factor
+    for attempt in range(max_retries + 1):
+        cap_recv = max(int(math.ceil(cap * (n // num_p))), 1)
+        fn = jax.jit(shard(functools.partial(local_fn, cap_recv)))
+        out_cols, out_pays, counts, overflow = fn(*cols_d, *pays_d)
+        if not bool(np.asarray(overflow).any()):
+            break
+        if attempt == max_retries or cap >= num_p:
+            break
+        cap = min(cap * 2.0, float(num_p))
     return out_cols, out_pays, counts, overflow, meta
 
 

@@ -239,16 +239,8 @@ def hierarchical_sort(keys, *payloads, mesh: Mesh | None = None,
     dist_sort.distributed_sort (gather with dist_sort.gather_result)."""
     if mesh is None:
         mesh = make_hierarchical_mesh(ici_axis, dcn_axis, num_slices)
-    lossy_f64 = jax.default_backend() != "cpu"
-
-    def _host_bits(x):
-        x = np.asarray(x)
-        if lossy_f64 and x.dtype == np.float64:
-            return x.view(np.uint64), np.dtype(np.float64)
-        return x, None
-
-    keys, key_dtype = _host_bits(keys)
-    pl = [_host_bits(p) for p in payloads]
+    keys, key_dtype = dist_sort.stage_host_bits(keys)
+    pl = [dist_sort.stage_host_bits(p) for p in payloads]
     payloads = tuple(p for p, _ in pl)
     meta = {"key_dtype": key_dtype, "payload_dtypes": [dt for _, dt in pl]}
 

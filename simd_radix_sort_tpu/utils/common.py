@@ -92,3 +92,15 @@ def element_size(key_dtype, payload_dtypes) -> int:
     return np.dtype(key_dtype).itemsize + sum(
         np.dtype(p).itemsize for p in payload_dtypes
     )
+
+
+def check_64bit_ok(dtype) -> None:
+    """Raise if a 64-bit stream would be silently truncated because jax
+    x64 mode is off (jnp.asarray would downcast, corrupting data)."""
+    import jax
+    dtype = np.dtype(dtype)
+    if dtype.itemsize == 8 and not jax.config.read("jax_enable_x64"):
+        raise ValueError(
+            f"dtype {dtype} requires 64-bit mode; set JAX_ENABLE_X64=1 or "
+            'jax.config.update("jax_enable_x64", True) before creating '
+            "arrays")

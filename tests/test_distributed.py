@@ -153,11 +153,13 @@ def test_distributed_sort_multi_composite():
     assert np.array_equal(g1, c1[order])
     assert np.array_equal(g2, c2[order])
     # payload order within exactly-tied (c1, c2) rows is unspecified (the
-    # merge sort is unstable): compare row TRIPLES as a multiset
-    trip = lambda a, b, p: np.sort((a.astype(np.uint64) << np.uint64(40))
-                                   ^ b.view(np.uint32).astype(np.uint64)
-                                   ^ (p << np.uint64(8)))
-    assert np.array_equal(trip(g1, g2, gp), trip(c1, c2, pay))
+    # merge sort is unstable): compare row TRIPLES as an exact multiset
+    # (structured lexsort — no lossy hashing)
+    def triples(a, b, p):
+        rows = np.stack([a.astype(np.int64), b.view(np.uint32).astype(np.int64),
+                         p.astype(np.int64)], axis=1)
+        return rows[np.lexsort(rows.T[::-1])]
+    assert np.array_equal(triples(g1, g2, gp), triples(c1, c2, pay))
 
 
 def test_distributed_sort_multi_f64_and_duplicates():
