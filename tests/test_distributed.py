@@ -179,3 +179,21 @@ def test_distributed_sort_multi_f64_and_duplicates():
     assert np.array_equal(np.sort(u2), transforms.to_sortable_np(g2, True))
     # balanced: no device holds more than capacity_factor * n/P
     assert np.asarray(counts).max() <= 2 * (n // 8)
+
+
+def test_distributed_sort_multi_elastic_retry():
+    """A capacity factor too small for the skew must be recovered by the
+    doubling retry (same protocol as the single-key sort)."""
+    rng = np.random.default_rng(82)
+    n = 8 * 256
+    # heavy skew: 3/4 of rows share one (c1, c2) prefix
+    c1 = np.where(rng.random(n) < 0.75, 7, rng.integers(0, 100, n))
+    c1 = c1.astype(np.int32)
+    c2 = rng.integers(0, 3, n).astype(np.uint8)
+    cols, pays, counts, ov, meta = dist_sort.distributed_sort_multi(
+        (c1, c2), capacity_factor=1.05, max_retries=3)
+    assert not np.asarray(ov).any()  # retry absorbed the overflow
+    (g1, g2), _ = dist_sort.gather_result_multi(cols, pays, counts, meta)
+    order = np.lexsort((c2, c1))
+    assert np.array_equal(g1, c1[order])
+    assert np.array_equal(g2, c2[order])
