@@ -18,7 +18,8 @@ jax.config.update("jax_enable_x64", True)
 # persistent compile cache: axon remote compiles take 20-60 s per shape,
 # one line makes re-runs ~free (measured 16.2 s -> 0.1 s)
 jax.config.update("jax_compilation_cache_dir",
-                  "/root/.cache/jax_comp_cache")
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 os.path.expanduser("~/.cache/jax_comp_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402

@@ -69,6 +69,30 @@ def test_auto_picks_count_for_narrow_keys_only():
     assert methods.resolve("auto", np.float32, (), big).name == "xla"
 
 
+@pytest.mark.parametrize("k,n", [
+    (256, 1000),        # u8 path, single chunk
+    (256, 4096),        # exactly one chunk-floor boundary
+    (1024, 5000),       # adaptive-range K
+    (65536, 262145),    # chunk = 2^25/256 = 131072: 2 full chunks + 1 row
+])
+def test_mxu_histogram_matches_bincount(k, n):
+    # mxu_histogram is pure jnp, so the MXU math (bf16 one-hot einsum,
+    # hi/lo factorization, chunk loop) is exercised on the CPU CI suite
+    # too (round-2 ADVICE item)
+    rng = np.random.default_rng(k + n)
+    v = rng.integers(0, k, n).astype(np.int32)
+    got = np.asarray(counting.mxu_histogram(v, k))
+    want = np.bincount(v, minlength=k)
+    assert np.array_equal(got, want)
+
+
+def test_mxu_histogram_drops_out_of_range():
+    v = np.array([0, 5, 256, 300, 255, -1], np.int32)
+    got = np.asarray(counting.mxu_histogram(v, 256))
+    want = np.bincount(np.array([0, 5, 255]), minlength=256)
+    assert np.array_equal(got, want)
+
+
 def test_supports_predicate():
     assert counting.supports(np.uint8, (), None)
     assert counting.supports(np.int32, (), 10)
