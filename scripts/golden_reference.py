@@ -1,0 +1,260 @@
+"""Golden A/B harness: byte-compare simd_radix_sort_tpu against the ACTUAL
+compiled reference implementation (/root/reference/radixSort.hpp).
+
+The north star's core promise — output bitwise-identical to the reference
+on every key/payload type combo — is tested here directly, not argued
+transitively: for each cell a reference-protocol dataset (native
+make_keys/make_payloads, the bit-exact replica of data.hpp:105-170,393-406)
+is sorted by BOTH a freshly compiled reference binary (entry
+radixSort.hpp:1761-1783, AVX-512, the test.cpp:20-74 cell protocol) and by
+this framework, and every output stream is compared byte for byte.  Equal
+keys imply equal payload bytes under the reference's key-seeded payload
+protocol, so byte equality is exact regardless of either side's stability.
+
+Usage:
+  python scripts/golden_reference.py            # full matrix -> GOLDEN_r03.json
+  python scripts/golden_reference.py --sample   # CI-sized subset, exit 0/1
+  python scripts/golden_reference.py --methods  # engine sweep on fixed combos
+
+Cell axes (full): 10 key dtypes x 10 payload shapes x 8 distributions x
+n in {1,10,100,1000,10000} x {asc,desc} x {separate,combined}; combined
+cells with a non-power-of-two DataElement size are skipped exactly like
+test.cpp:81-82.  Drivers are generated from scripts/golden_driver.cpp.in
+(one binary per key type, ~10 s compile each) and fed a manifest, so the
+whole sweep costs 10 compiles + 10 process launches.
+"""
+
+import argparse
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # golden runs on the CPU backend
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+import simd_radix_sort_tpu as srs  # noqa: E402
+from simd_radix_sort_tpu.ops import sort as sort_mod  # noqa: E402
+from simd_radix_sort_tpu.utils import data as D  # noqa: E402
+from simd_radix_sort_tpu.utils import native  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE_HEADER = os.environ.get("SRS_REFERENCE_HEADER",
+                                  "/root/reference/radixSort.hpp")
+WORK = os.environ.get("SRS_GOLDEN_WORK", "/tmp/srs_golden")
+TEMPLATE = os.path.join(REPO, "scripts", "golden_driver.cpp.in")
+CXXFLAGS = ("-std=c++20 -O2 -mavx512f -mavx512bw -mavx512dq -mavx512vl "
+            "-mavx512vbmi -mavx512vbmi2").split()
+
+KEY_DTYPES = {  # name -> (np dtype, C type)
+    "uint8": (np.uint8, "uint8_t"), "int8": (np.int8, "int8_t"),
+    "uint16": (np.uint16, "uint16_t"), "int16": (np.int16, "int16_t"),
+    "uint32": (np.uint32, "uint32_t"), "int32": (np.int32, "int32_t"),
+    "uint64": (np.uint64, "uint64_t"), "int64": (np.int64, "int64_t"),
+    "float32": (np.float32, "float"), "float64": (np.float64, "double"),
+}
+# payload-shape table; ids must match golden_driver.cpp.in's switch
+PSHAPES = {
+    0: (), 1: (np.uint8,), 2: (np.uint16,), 3: (np.uint32,), 4: (np.uint64,),
+    5: (np.uint64, np.uint8), 6: (np.uint64, np.uint64),
+    7: (np.uint64,) * 7, 8: (np.uint8,) * 15, 9: (np.uint8,) * 3,
+}
+ALL_NS = (1, 10, 100, 1000, 10000)
+SEED = 42
+
+
+def build_driver(key_name: str) -> str:
+    """Compile (with content-hash caching) the reference driver for one key
+    type; returns the binary path."""
+    os.makedirs(WORK, exist_ok=True)
+    ctype = KEY_DTYPES[key_name][1]
+    src = (open(TEMPLATE).read()
+           .replace("@KEY_T@", ctype)
+           .replace("@REFERENCE_HEADER@", REFERENCE_HEADER))
+    tag = hashlib.sha256((src + " ".join(CXXFLAGS)).encode()).hexdigest()[:16]
+    binary = os.path.join(WORK, f"drv_{key_name}_{tag}")
+    if not os.path.exists(binary):
+        cpp = binary + ".cpp"
+        open(cpp, "w").write(src)
+        t0 = time.time()
+        subprocess.run(["g++", *CXXFLAGS, cpp, "-o", binary], check=True)
+        print(f"  compiled reference driver for {key_name} "
+              f"({time.time() - t0:.1f} s)", flush=True)
+    return binary
+
+
+def _read_streams(prefix, key_dtype, pdts, n):
+    keys = np.fromfile(prefix + ".keys", dtype=key_dtype, count=n)
+    pays = [np.fromfile(f"{prefix}.p{i}", dtype=dt, count=n)
+            for i, dt in enumerate(pdts)]
+    return keys, pays
+
+
+def _bytes_equal(a: np.ndarray, b: np.ndarray) -> bool:
+    return a.tobytes() == b.tobytes()
+
+
+def run_key_type(key_name, pshape_ids, dists, ns, directions, arms,
+                 method: str = "auto"):
+    """All cells for one key type: generate inputs, run the reference binary
+    once over a manifest, then compare our sorts cell by cell."""
+    key_dtype = np.dtype(KEY_DTYPES[key_name][0])
+    binary = build_driver(key_name)
+    cdir = os.path.join(WORK, f"cells_{key_name}")
+    os.makedirs(cdir, exist_ok=True)
+
+    # inputs are shared across direction/arm; generate each once
+    inputs = {}  # (pshape, dist, n) -> prefix
+    manifest = []
+    cells = []
+    for ps in pshape_ids:
+        pdts = [np.dtype(d) for d in PSHAPES[ps]]
+        for dist in dists:
+            for n in ns:
+                ikey = (ps, dist.value, n)
+                if ikey not in inputs:
+                    prefix = os.path.join(
+                        cdir, f"in_{ps}_{dist.value}_{n}")
+                    keys = native.make_keys(n, key_dtype, dist, seed=SEED)
+                    keys.tofile(prefix + ".keys")
+                    if pdts:
+                        pays = native.make_payloads(keys, pdts)
+                        for i, p in enumerate(pays):
+                            p.tofile(f"{prefix}.p{i}")
+                    inputs[ikey] = prefix
+                for up in directions:
+                    for arm in arms:
+                        out = os.path.join(
+                            cdir,
+                            f"out_{ps}_{dist.value}_{n}_{int(up)}_{arm}")
+                        manifest.append(
+                            f"{ps} {int(up)} {arm} {n} "
+                            f"{inputs[ikey]} {out}")
+                        cells.append((ps, dist, n, up, arm,
+                                      inputs[ikey], out))
+
+    mpath = os.path.join(cdir, "manifest.txt")
+    open(mpath, "w").write("\n".join(manifest) + "\n")
+    res = subprocess.run([binary, mpath], capture_output=True, text=True,
+                         check=True)
+    status = {}
+    for line in res.stdout.splitlines():
+        st, out = line.split()
+        status[out] = st
+
+    passed, skipped, failures = 0, 0, []
+    for ps, dist, n, up, arm, iprefix, oprefix in cells:
+        pdts = [np.dtype(d) for d in PSHAPES[ps]]
+        if status[oprefix] == "SKIP":
+            skipped += 1
+            continue
+        keys, pays = _read_streams(iprefix, key_dtype, pdts, n)
+        ref_keys, ref_pays = _read_streams(oprefix, key_dtype, pdts, n)
+        cell = (f"{key_name} ps={ps} {dist.value} n={n} "
+                f"{'asc' if up else 'desc'} {arm}")
+        try:
+            if arm == "sep":
+                out = srs.sort(keys, *pays, ascending=up, method=method)
+                got_keys, got_pays = ((out, []) if not pdts
+                                      else (out[0], list(out[1:])))
+            else:
+                packed = sort_mod.pack_rows(keys, pays)
+                sp = srs.sort_packed(packed, key_dtype, ascending=up)
+                got_keys, gp = sort_mod.unpack_rows(
+                    np.asarray(sp), key_dtype, pdts)
+                got_pays = list(gp)
+        except Exception as e:  # a crash is a failure, not an abort
+            failures.append({"cell": cell, "error": repr(e)})
+            continue
+        ok = _bytes_equal(np.asarray(got_keys), ref_keys)
+        for gp_, rp in zip(got_pays, ref_pays):
+            ok = ok and _bytes_equal(np.asarray(gp_), rp)
+        if ok:
+            passed += 1
+        else:
+            failures.append({"cell": cell, "error": "byte mismatch"})
+    return passed, skipped, failures
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sample", action="store_true",
+                    help="CI-sized subset (3 key types), exit 0/1")
+    ap.add_argument("--methods", action="store_true",
+                    help="also sweep engines on fixed combos")
+    ap.add_argument("--out", default=os.path.join(REPO, "GOLDEN_r03.json"))
+    args = ap.parse_args()
+
+    all_dists = list(D.Distribution)
+    if args.sample:
+        key_names = ["uint32", "uint64", "float32"]
+        pshape_ids = [0, 4, 8]
+        dists = [D.Distribution.UNIFORM, D.Distribution.GAUSSIAN]
+        ns = (1, 1000)
+    else:
+        key_names = list(KEY_DTYPES)
+        pshape_ids = list(PSHAPES)
+        dists = all_dists
+        ns = ALL_NS
+
+    report = {"reference_header": REFERENCE_HEADER,
+              "cxxflags": " ".join(CXXFLAGS), "seed": SEED,
+              "sample": args.sample, "per_key": {}, "method_sweep": {}}
+    total_pass = total_skip = 0
+    total_fail = []
+    t0 = time.time()
+    for key_name in key_names:
+        p, s, f = run_key_type(key_name, pshape_ids, dists, ns,
+                               directions=(True, False),
+                               arms=("sep", "comb"))
+        report["per_key"][key_name] = {
+            "passed": p, "skipped_comb_nonpow2": s,
+            "failed": len(f), "failures": f[:20]}
+        total_pass += p
+        total_skip += s
+        total_fail += f
+        print(f"{key_name}: {p} passed, {s} skipped, {len(f)} FAILED",
+              flush=True)
+
+    if args.methods:
+        # engine sweep: every device/host engine vs the reference binary on
+        # the separate arm (the facade's common surface)
+        for method in ["xla", "quick", "rank", "radix", "seq", "cpp",
+                       "torch", "quickseq"]:
+            combos = [("uint32", 3), ("uint64", 6)]
+            mp = mf = 0
+            for key_name, ps in combos:
+                p, _, f = run_key_type(
+                    key_name, [ps],
+                    [D.Distribution.UNIFORM, D.Distribution.GAUSSIAN],
+                    (1000,), directions=(True, False), arms=("sep",),
+                    method=method)
+                mp += p
+                mf += len(f)
+                total_fail += f
+            report["method_sweep"][method] = {"passed": mp, "failed": mf}
+            total_pass += mp
+            print(f"method {method}: {mp} passed, {mf} FAILED", flush=True)
+
+    report["total_passed"] = total_pass
+    report["total_skipped"] = total_skip
+    report["total_failed"] = len(total_fail)
+    report["elapsed_s"] = round(time.time() - t0, 1)
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(f"golden: {total_pass} byte-identical, {total_skip} skipped, "
+          f"{len(total_fail)} failed -> {args.out} "
+          f"({report['elapsed_s']} s)")
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
