@@ -99,6 +99,21 @@ def inner_join_expand(probe_keys: jax.Array, probe_payloads,
     return total, probe_idx_safe, out_probe_keys, out_probe_pays, out_build_pays
 
 
+# Saturation bound for the x64-off cumsum in merge_join_indices: headroom
+# so the saturating add a+b <= 2*_SAT32 never wraps int32.
+_SAT32 = (1 << 30) - 1
+
+
+def _saturating_cumsum(count: jax.Array) -> jax.Array:
+    """Inclusive prefix sum of non-negative int32 counts that saturates at
+    _SAT32 instead of wrapping.  min(a+b, S) is associative on [0, S], so a
+    log-depth associative scan computes it exactly: prefixes whose true sum
+    is < _SAT32 are exact, larger ones read _SAT32."""
+    c = jnp.minimum(count.astype(jnp.int32), _SAT32)
+    return jax.lax.associative_scan(
+        lambda a, b: jnp.minimum(a + b, _SAT32), c)
+
+
 def merge_join_indices(probe_ops, n_probe_valid, build_ops, n_build_valid,
                        capacity: int):
     """Inner-join row matching over PADDED transformed-key operand tuples
@@ -106,7 +121,10 @@ def merge_join_indices(probe_ops, n_probe_valid, build_ops, n_build_valid,
     where a single-word binary search cannot).
 
     probe_ops / build_ops are tuples of same-length uint words; rows at
-    index >= n_*_valid are buffer padding (contents ignored).  Returns
+    index >= n_*_valid are buffer padding (contents ignored).  Either
+    n_*_valid may instead be a BOOLEAN MASK of valid rows (any positions,
+    not just a prefix) — the distributed join's heavy-hitter path joins a
+    replicated build table whose valid rows are per-source chunks.  Returns
     (total, probe_idx, build_idx): output slot t joins probe row
     probe_idx[t] with build row build_idx[t]; slots past `total` carry
     clipped padding indices.  total may exceed `capacity` (truncated
@@ -119,13 +137,23 @@ def merge_join_indices(probe_ops, n_probe_valid, build_ops, n_build_valid,
     the same rank arithmetic as inner_join_expand (this file) — the
     distributed join's local step (SURVEY.md section 7 step 5 scaled out).
     """
+    if capacity >= _SAT32:
+        raise ValueError(f"capacity {capacity} must be < {_SAT32} "
+                         "(saturating-cumsum exactness bound)")
     n_p = probe_ops[0].shape[0]
     n_b = build_ops[0].shape[0]
     m = n_b + n_p
     iota_p = jnp.arange(n_p, dtype=jnp.int32)
     iota_b = jnp.arange(n_b, dtype=jnp.int32)
-    inval = jnp.concatenate([(iota_b >= n_build_valid),
-                             (iota_p >= n_probe_valid)]).astype(jnp.uint8)
+
+    def _invalid(iota, v):
+        if getattr(v, "ndim", 0) == 1:  # boolean validity mask
+            return ~v
+        return iota >= v
+
+    inval = jnp.concatenate([_invalid(iota_b, n_build_valid),
+                             _invalid(iota_p, n_probe_valid)]
+                            ).astype(jnp.uint8)
     side = jnp.concatenate([jnp.zeros(n_b, jnp.uint8),
                             jnp.ones(n_p, jnp.uint8)])
     words = tuple(jnp.concatenate([bw, pw])
@@ -157,18 +185,28 @@ def merge_join_indices(probe_ops, n_probe_valid, build_ops, n_build_valid,
     # output pairs, and a wrapped int32 cumsum is non-monotonic — binary
     # search then misroutes even in-capacity slots and the overflow flag
     # silently reads False.  Only the prefix below `capacity` must be
-    # exact in 32 bits, so the search runs on the capped cumsum.
-    cum64 = jnp.cumsum(count.astype(jnp.int64), dtype=jnp.int64)
-    total = cum64[-1] if m else jnp.int64(0)
-    cum_cap = jnp.minimum(cum64, capacity).astype(jnp.int32)
+    # exact in 32 bits, so the search runs on the capped cumsum.  With
+    # x64 off, jnp.cumsum(dtype=int64) would silently compute in int32;
+    # there the scan saturates at _SAT32 instead of wrapping: every
+    # unsaturated prefix is exact, and a saturated one forces
+    # total > capacity, so overflow can never silently read False
+    # (capacity < _SAT32 is enforced above).
+    if jax.config.read("jax_enable_x64"):
+        cum = jnp.cumsum(count.astype(jnp.int64), dtype=jnp.int64)
+    else:
+        cum = _saturating_cumsum(count)
+    total = cum[-1] if m else cum.dtype.type(0)
+    cum_cap = jnp.minimum(cum, capacity).astype(jnp.int32)
     t = jnp.arange(capacity, dtype=jnp.int32)
     mpos = jnp.clip(jnp.searchsorted(cum_cap, t,
                                      side="right").astype(jnp.int32),
                     0, max(m - 1, 0))
-    # slot start from the EXACT cumsum: the owning row's start is < t <
-    # capacity, so it fits int32 even when its (capped) end does not
-    start = (jnp.take(cum64, mpos)
-             - jnp.take(count, mpos).astype(jnp.int64))
+    # slot start from the owning row's cumsum: the true start is < t <
+    # capacity, so it is exact in int32 whenever that cumsum is exact
+    # (always under x64; under the saturating scan a clipped start can
+    # only occur on runs that already force the overflow flag)
+    start = (jnp.take(cum, mpos)
+             - jnp.take(count, mpos).astype(cum.dtype))
     offset = t - jnp.clip(start, 0, capacity).astype(jnp.int32)
     bpos = jnp.clip(jnp.take(run_start, mpos) + offset, 0, max(m - 1, 0))
     return total, jnp.take(s_idx, mpos), jnp.take(s_idx, bpos)

@@ -83,6 +83,23 @@ def test_distributed_aggregate_validity_no_sentinel():
         assert np.array_equal(np.asarray(res, dtype=np.int64), want), agg
 
 
+def test_distributed_aggregate_many_groups():
+    """Distinct keys ~ 2 * n/P: impossible under the old replicated
+    all_gather phase (groups had to fit one shard); the key-range exchange
+    of partials shards the group table instead (round-2 VERDICT item 6)."""
+    rng = np.random.default_rng(35)
+    n = 8 * 256
+    n_groups = 2 * (n // 8)  # 512 distinct keys, 64 per shard capacity
+    keys = rng.integers(0, n_groups, n).astype(np.int32)
+    vals = rng.integers(1, 1000, n).astype(np.int64)
+    ng, gk, res = dist_ops.distributed_group_aggregate(keys, vals, agg="sum")
+    uniq = np.unique(keys)
+    assert ng == len(uniq) > n // 8  # more groups than one shard holds
+    assert np.array_equal(gk, uniq)
+    want = np.array([vals[keys == u].sum() for u in uniq])
+    assert np.array_equal(np.asarray(res, np.int64), want)
+
+
 def test_distributed_aggregate_count_heavy():
     """Count-dominated workload: one giant group + many singletons."""
     n = 8 * 512
@@ -152,6 +169,50 @@ def test_distributed_join_skewed_keys():
     _, _, _, _, ov2, _ = dist_ops.distributed_join(
         pk, (pp,), bk, (bp,), capacity_factor=8.0, out_rows_per_device=4)
     assert np.asarray(ov2).any()
+
+
+def test_distributed_join_zipf_heavy_hitters():
+    """North-star config 5: Zipf-skewed keys with skew repartitioning.
+    The hottest key alone exceeds any per-device receive buffer at
+    capacity_factor 2 (equal keys must co-locate), so the broadcast-join
+    hot path must carry it — and disabling the hot path must overflow."""
+    rng = np.random.default_rng(44)
+    n_p, n_b = 8 * 256, 8 * 128
+    pk = np.minimum(rng.zipf(1.3, n_p), 2**31 - 1).astype(np.uint32)
+    bk = np.minimum(rng.zipf(1.3, n_b), 2**31 - 1).astype(np.uint32)
+    pp = np.arange(n_p, dtype=np.int32)
+    bp = np.arange(n_b, dtype=np.int32) * 2
+    counts, k_out, opp, obp, ov, meta = dist_ops.distributed_join(
+        pk, (pp,), bk, (bp,), capacity_factor=2.0,
+        out_rows_per_device=1 << 16)
+    assert not np.asarray(ov).any()
+    gk, (gpp,), (gbp,) = dist_ops.gather_joined(counts, k_out, opp, obp)
+    got = sorted(zip(gk.tolist(), gpp.tolist(), gbp.tolist()))
+    want = _np_inner_join(pk.tolist(), pp.tolist(), bk.tolist(), bp.tolist())
+    assert got == want
+    # without the hot path the same workload overflows a receive buffer
+    _, _, _, _, ov0, _ = dist_ops.distributed_join(
+        pk, (pp,), bk, (bp,), capacity_factor=2.0,
+        out_rows_per_device=1 << 16, hot_keys=0)
+    assert np.asarray(ov0).any()
+
+
+def test_distributed_join_all_rows_one_key():
+    """Degenerate broadcast-join case: every row shares one key."""
+    n_p, n_b = 8 * 64, 8 * 32
+    pk = np.full(n_p, 123, np.uint32)
+    bk = np.full(n_b, 123, np.uint32)
+    pp = np.arange(n_p, dtype=np.int32)
+    bp = np.arange(n_b, dtype=np.int32)
+    counts, k_out, opp, obp, ov, meta = dist_ops.distributed_join(
+        pk, (pp,), bk, (bp,), capacity_factor=2.0,
+        out_rows_per_device=n_p * n_b // 8 + n_b)
+    assert not np.asarray(ov).any()
+    gk, (gpp,), (gbp,) = dist_ops.gather_joined(counts, k_out, opp, obp)
+    assert len(gk) == n_p * n_b
+    got = sorted(zip(gk.tolist(), gpp.tolist(), gbp.tolist()))
+    want = _np_inner_join(pk.tolist(), pp.tolist(), bk.tolist(), bp.tolist())
+    assert got == want
 
 
 def test_distributed_join_no_matches():

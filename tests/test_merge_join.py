@@ -37,6 +37,44 @@ def test_merge_join_indices_matches(dtype):
     assert got == want
 
 
+def test_saturating_cumsum_exact_and_saturated():
+    # exact below the bound
+    c = np.array([0, 3, 1, 0, 7, 2], np.int32)
+    got = np.asarray(hashjoin._saturating_cumsum(jnp.asarray(c)))
+    assert got.tolist() == np.cumsum(c).tolist()
+    # saturates (instead of wrapping) once the true sum passes _SAT32,
+    # and every unsaturated prefix stays exact
+    big = np.array([5, 2**30, 2**30, 3], np.int32)
+    got = np.asarray(hashjoin._saturating_cumsum(jnp.asarray(big)))
+    assert got[0] == 5
+    assert (got[1:] == hashjoin._SAT32).all()
+    assert (np.diff(got) >= 0).all()  # monotone: searchsorted stays valid
+
+
+def test_merge_join_indices_x64_off_matches():
+    # the x64-off saturating-scan path must agree with the int64 path
+    import jax
+    rng = np.random.default_rng(51)
+    pk = rng.integers(0, 30, 256).astype(np.uint32)
+    bk = rng.integers(0, 30, 128).astype(np.uint32)
+    cap = 4096
+    ref = hashjoin.merge_join_indices(
+        _ops(pk, np.uint32), 256, _ops(bk, np.uint32), 128, cap)
+    with jax.enable_x64(False):
+        got = hashjoin.merge_join_indices(
+            _ops(pk, np.uint32), 256, _ops(bk, np.uint32), 128, cap)
+    assert int(ref[0]) == int(got[0])
+    for a, b in zip(ref[1:], got[1:]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_merge_join_indices_capacity_bound():
+    with pytest.raises(ValueError, match="capacity"):
+        hashjoin.merge_join_indices(
+            _ops(np.zeros(4, np.uint32), np.uint32), 4,
+            _ops(np.zeros(4, np.uint32), np.uint32), 4, 1 << 30)
+
+
 def test_merge_join_indices_truncation():
     pk = np.zeros(64, np.uint32)
     bk = np.zeros(64, np.uint32)
