@@ -7,13 +7,22 @@ thesis) and prints our best device engine vs the reference's own
 RadixSIMD and its best competitor row, with speedups.  Workloads the
 reference never measured print without anchors.
 
+When REF_HOST.json exists (produced by scripts/ref_perf.py — the
+reference compiled and timed on THIS host's AVX-512 core under its own
+perf.hpp protocol), a measured-here RadixSIMD column is printed too, so
+speedups are anchored on the same silicon era, not only the thesis'
+i7-12700K.
+
     python scripts/summarize_bench.py [bench_out]
 """
 
+import json
 import os
 import sys
 
 REF_DIR = "/root/reference/bachelors-thesis/data"
+REF_HOST = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "REF_HOST.json")
 
 OUR_DEVICE_METHODS = ("xla", "radix", "count", "rank", "quick")
 # the reference's own algorithm rows vs vendored competitor rows
@@ -35,10 +44,24 @@ def parse(path):
     return rows
 
 
+def load_ref_host():
+    """(combo, dist, n) -> RadixSIMD ns/elem measured on this host."""
+    try:
+        with open(REF_HOST) as f:
+            report = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return {(c["combo"], c["dist"], str(c["n"])): c["ns_per_elem"]
+            for c in report["cells"] if c["method"] == "RadixSIMD"}
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "bench_out"
+    host = load_ref_host()
+    host_hdr = f" {'here:RadixSIMD':>14s} {'x':>6s}" if host else ""
     print(f"{'workload':44s} {'ours':>7s} {'engine':>7s} "
-          f"{'RadixSIMD':>10s} {'x':>6s} {'best-other':>16s} {'x':>6s}")
+          f"{'RadixSIMD':>10s} {'x':>6s} {'best-other':>16s} {'x':>6s}"
+          f"{host_hdr}")
     for fname in sorted(os.listdir(out_dir)):
         if not fname.endswith(".dat") or fname.startswith(
                 ("tpe-", "digits-", "speedup-", "combined-", "thresh-",
@@ -55,6 +78,11 @@ def main():
         label = (f"{key}+{pays} {dist} n={num}" if pays
                  else f"{key} {dist} n={num}")
 
+        combo = f"{key}+{pays}" if pays else key
+        h = host.get((combo, dist, num))
+        host_col = (f" {h:14.2f} {h / best:5.1f}x" if h is not None
+                    else (f" {'—':>14s} {'—':>6s}" if host else ""))
+
         ref_rows = parse(os.path.join(REF_DIR, fname))
         r_own = ref_rows.get("RadixSIMD")
         others = {m: v for m, v in ref_rows.items()
@@ -64,10 +92,11 @@ def main():
                 if others else ("-", r_own)
             print(f"{label:44s} {best:7.2f} {best_m:>7s} "
                   f"{r_own:10.2f} {r_own / best:5.1f}x "
-                  f"{r_best:6.2f} ({r_best_m[:9]:9s}) {r_best / best:5.1f}x")
+                  f"{r_best:6.2f} ({r_best_m[:9]:9s}) {r_best / best:5.1f}x"
+                  f"{host_col}")
         else:
             print(f"{label:44s} {best:7.2f} {best_m:>7s} "
-                  f"{'—':>10s} {'—':>6s} {'—':>16s}")
+                  f"{'—':>10s} {'—':>6s} {'—':>16s}{host_col}")
 
 
 if __name__ == "__main__":
