@@ -34,7 +34,10 @@ PAYLOAD_SHAPES = {
 
 FULL_ONLY_PAYLOADS = {
     "7xu64": (np.uint64,) * 7,
+    "u8x7": (np.uint8,) * 7,
     "u8x15": (np.uint8,) * 15,
+    "u8x31": (np.uint8,) * 31,
+    "u8x63": (np.uint8,) * 63,
 }
 
 
@@ -135,7 +138,29 @@ def test_oracle_catches_corruption():
     assert "multiset" in D.check_data(np.sort(bad_k), (ps,), keys, True)
 
 
+def run_cell_packed(key_dtype, payload_dtypes, dist, n, ascending,
+                    seed=1234, protocol="fast"):
+    """Combined-layout cell: pack -> sort_packed -> unpack -> oracle (the
+    test.cpp:44-50 combined arm)."""
+    from simd_radix_sort_tpu.ops import sort as sort_mod
+    keys = D.make_keys(n, key_dtype, dist, seed)
+    payloads = D.make_payloads(keys, payload_dtypes, protocol)
+    packed = sort_mod.pack_rows(keys, payloads)
+    out = srs.sort_packed(packed, key_dtype, ascending=ascending)
+    k, ps = sort_mod.unpack_rows(np.asarray(out), key_dtype, payload_dtypes)
+    err = D.check_data(np.asarray(k), tuple(np.asarray(p) for p in ps),
+                       keys, ascending, protocol)
+    assert err == "", (
+        f"packed {common.type_name(key_dtype)} {payload_dtypes} {dist} "
+        f"n={n} asc={ascending}: {err}")
+
+
 def test_full_matrix(full_matrix):
+    """The reference-sized sweep (test.cpp:100-153,174-215): separate AND
+    combined layouts, every key type, payload shapes up to u8x63 / 7xu64
+    (64-byte elements), all distributions, plus an every-engine pass on the
+    widest shapes.  Opt-in: run once per round and commit the log
+    (MATRIX_r03.log)."""
     if not full_matrix:
         pytest.skip("pass --full-matrix for the reference-sized sweep")
     shapes = dict(PAYLOAD_SHAPES)
@@ -146,6 +171,43 @@ def test_full_matrix(full_matrix):
                 for n in (1, 10, 100, 1000, 10000):
                     for ascending in (True, False):
                         run_cell(key_dtype, pls, dist, n, "xla", ascending)
+
+
+def test_full_matrix_combined(full_matrix):
+    """Combined (AoS) arm of the full sweep: every key x payload shape with
+    a power-of-two element size (the reference's combined gate,
+    test.cpp:81-82 — ours also accepts non-pow2, covered in
+    test_packed.py)."""
+    if not full_matrix:
+        pytest.skip("pass --full-matrix for the reference-sized sweep")
+    shapes = dict(PAYLOAD_SHAPES)
+    shapes.update(FULL_ONLY_PAYLOADS)
+    for key_dtype in ALL_KEYS:
+        for name, pls in shapes.items():
+            esize = np.dtype(key_dtype).itemsize + sum(
+                np.dtype(p).itemsize for p in pls)
+            if esize & (esize - 1):
+                continue
+            for dist in (D.Distribution.UNIFORM, D.Distribution.ZERO_ONE):
+                for n in (1, 1000, 10000):
+                    for ascending in (True, False):
+                        run_cell_packed(key_dtype, pls, dist, n, ascending)
+
+
+def test_full_matrix_engines(full_matrix):
+    """Every registered engine on the widest payload tuples (the
+    reference's per-method sweep, test.cpp:174-215, previously xla-only
+    here)."""
+    if not full_matrix:
+        pytest.skip("pass --full-matrix for the reference-sized sweep")
+    for method in ("radix", "quick", "rank", "seq", "quickseq", "torch",
+                   "cpp"):
+        for key_dtype in (np.uint32, np.uint64):
+            for pls in (FULL_ONLY_PAYLOADS["7xu64"],
+                        FULL_ONLY_PAYLOADS["u8x63"]):
+                for ascending in (True, False):
+                    run_cell(key_dtype, pls, D.Distribution.UNIFORM, 1000,
+                             method, ascending)
 
 
 def test_unsupported_dtype_errors():
