@@ -23,6 +23,16 @@ fi
 echo "== unit + matrix tests (8-device virtual CPU mesh) =="
 python -m pytest tests/ -q
 
+echo "== golden A/B vs the compiled reference (sampled) =="
+# byte-compares our output against the actual reference binary
+# (/root/reference/radixSort.hpp, AVX-512) on a CI-sized subset; the
+# full matrix is scripts/golden_reference.py -> GOLDEN_r03.json
+if [ -r /root/reference/radixSort.hpp ] && command -v g++ >/dev/null; then
+  python scripts/golden_reference.py --sample
+else
+  echo "  (reference header or g++ unavailable; skipping golden sample)"
+fi
+
 echo "== driver entry compile checks =="
 XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "
 import jax; jax.config.update('jax_platforms', 'cpu')

@@ -110,3 +110,29 @@ def test_quick_workstack_deep_segments():
     rng.shuffle(u)
     out = quick_sort.sort_np(u.view(np.int64), threshold=2)[0]
     assert np.array_equal(out, np.sort(u.view(np.int64)))
+
+
+def test_out_of_range_skips_partition(monkeypatch):
+    """Beyond c * BLOCK/2 rows the blocked cleanup can never engage, so
+    the engine must emit ONE sort (no wasted partition pass) — the
+    round-3 partition-attack conclusion (scripts/partition_attack.py:
+    the bucket-id mover is itself a lax.sort and cannot win)."""
+    import jax
+
+    monkeypatch.setattr(quick_sort, "MAX_BUCKETS", 4)
+    monkeypatch.setattr(quick_sort, "BLOCK", 256)
+
+    def n_sorts(n):
+        keys = D.make_keys(n, np.uint32, D.Distribution.UNIFORM, seed=3)
+        txt = jax.jit(
+            lambda k: quick_sort.sort_arrays(k, block_threshold=64)
+        ).lower(jnp.asarray(keys)).as_text()
+        out, _ = quick_sort.sort_arrays(jnp.asarray(keys),
+                                        block_threshold=64)
+        assert np.array_equal(np.asarray(out), np.sort(keys))
+        return txt.count("stablehlo.sort")
+
+    # n > 4 * 128: partition pointless -> exactly one sort in the program
+    assert n_sorts(1000) == 1
+    # in-range n: partition + cleanup phases (+ splitter sample sort)
+    assert n_sorts(400) >= 3
