@@ -190,8 +190,13 @@ def main():
                     help="CI-sized subset (3 key types), exit 0/1")
     ap.add_argument("--methods", action="store_true",
                     help="also sweep engines on fixed combos")
-    ap.add_argument("--out", default=os.path.join(REPO, "GOLDEN_r03.json"))
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        # the sampled CI gate must never clobber the committed full-matrix
+        # artifact
+        args.out = os.path.join(
+            REPO, "GOLDEN_sample.json" if args.sample else "GOLDEN_r03.json")
 
     all_dists = list(D.Distribution)
     if args.sample:
