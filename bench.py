@@ -6,15 +6,33 @@ anchor: RadixSIMD int32+int32 at 89 Mrows/s on one 5 GHz x86 core
 (BASELINE.md; the reference publishes no u64+u64 row and is single-threaded).
 
 Prints ONE JSON line.  Environment knobs:
-  SRS_BENCH_N      rows (default 100_000_000)
-  SRS_BENCH_REPS   timed repetitions (default 3)
-  SRS_BENCH_METHOD sort method (default "auto")
+  SRS_BENCH_N          rows (default 100_000_000)
+  SRS_BENCH_REPS       timed repetitions (default 3)
+  SRS_BENCH_METHOD     sort method (default "auto")
+  SRS_BENCH_TIMEOUT_S  hard watchdog (default 2400 s): the axon tunnel
+                       can wedge indefinitely (observed round 3:
+                       jax.devices() itself hangs) — better a loud
+                       nonzero exit than a silent driver stall
 """
 
 import json
 import os
 import sys
+import threading
 import time
+
+_TIMEOUT_S = float(os.environ.get("SRS_BENCH_TIMEOUT_S", 2400))
+
+
+def _watchdog():
+    time.sleep(_TIMEOUT_S)
+    print(f"bench.py: watchdog expired after {_TIMEOUT_S:.0f} s "
+          "(TPU backend/tunnel unresponsive?) — aborting", file=sys.stderr,
+          flush=True)
+    os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 # NOTE: jax is pre-imported by sitecustomize in this environment, so
 # JAX_ENABLE_X64 env vars set here are too late; use config.update.
