@@ -91,6 +91,10 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
     num_p = mesh.shape[axis]
     use_ragged = dist_sort.default_use_ragged(use_ragged)
     keys, key_f64 = dist_sort.stage_host_bits(np.asarray(keys))
+    if key_f64 is not None:
+        # group by IEEE equality like the unstaged (CPU) path: -0.0 and
+        # +0.0 are equal values but distinct bit patterns
+        keys = np.where(keys == np.uint64(1) << 63, np.uint64(0), keys)
     n_local = keys.shape[0] // num_p
     sharding = NamedSharding(mesh, P(axis))
     keys_d = jax.device_put(jnp.asarray(keys), sharding)
@@ -108,20 +112,32 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
         return dtype.type(np.inf if combine_agg == "min" else -np.inf)
 
     def local(cap_recv, k, v):
-        ng, gk, results = hashagg.group_aggregate(k, v, aggs=partial_aggs)
+        # BOTH grouping phases run on the TRANSFORMED CARRIER (the
+        # order-preserving unsigned image of the key): exchange_by_bounds
+        # ships contiguous ranges of the grouped valid prefix, so that
+        # prefix must be sorted in the same lex order the splitters and
+        # bounds use.  Grouping on the raw staged bits instead misroutes
+        # f64 partials (u64 bit order != float order for negatives) —
+        # round-3 review finding, regression-tested in test_dist_ops.
+        kw = transforms.key_operands(k, True, logical_dtype=key_f64)
+        nk = len(kw)
+        carrier = transforms.merge64(*kw) if nk == 2 else kw[0]
+        cmax = carrier.dtype.type(~np.uint64(0) if nk == 2
+                                  else ~np.uint32(0))
+        ng, gkc, results = hashagg.group_aggregate(carrier, v,
+                                                   aggs=partial_aggs)
         parts = [res if pa == "count" else res[0]
                  for pa, res in zip(partial_aggs, results)]
         part_dts = [np.dtype(p.dtype) for p in parts]
         n_l = k.shape[0]
         valid = jnp.arange(n_l, dtype=jnp.int32) < ng
 
-        # group-key carrier words; the padded tail (rows >= ng, junk keys)
-        # is forced to the carrier maximum so lex_bounds never counts it
-        # below a splitter (splitters come from the valid prefix, so no
-        # real bucket ever starts past the forced tail)
-        kops = transforms.key_operands(gk, True, logical_dtype=key_f64)
-        kops = tuple(jnp.where(valid, w, w.dtype.type(~np.uint32(0)))
-                     for w in kops)
+        # the padded tail (rows >= ng, junk keys) is forced to the
+        # carrier maximum so lex_bounds never counts it below a splitter
+        # (splitters come from the valid prefix, so no real bucket ever
+        # starts past the forced tail)
+        gkc = jnp.where(valid, gkc, cmax)
+        kops = transforms.split64(gkc) if nk == 2 else (gkc,)
         # key-domain splitters only (NO position tie-break): all partials
         # of one key must land on one device, exactly like the join
         splitters = dist_sort.gather_splitters(
@@ -130,9 +146,8 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
         recv, total_recv, overflow = dist_sort.exchange_by_bounds(
             kops + tuple(part_ops), dist_sort.lex_bounds(kops, splitters),
             axis, cap_recv, use_ragged, n_valid=ng)
-        nk = len(kops)
-        gk_recv = transforms.keys_from_operands(
-            tuple(recv[:nk]), key_dtype, True, as_bits=key_f64 is not None)
+        gc_recv = (transforms.merge64(*recv[:nk]) if nk == 2
+                   else recv[0])
         parts_recv = dist_sort.merge_payload_streams(recv[nk:], part_dts)
 
         # invalid (buffer-padding) rows must not perturb any group they
@@ -147,15 +162,19 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
             parts_recv = [jnp.where(rvalid, p, _identity(p.dtype))
                           for p in parts_recv]
         vstream = rvalid.astype(jnp.int32)
-        ng2, gk2, (res2, res_max) = hashagg.group_aggregate(
-            gk_recv, tuple(parts_recv) + (vstream,),
+        ng2, gk2c, (res2, res_max) = hashagg.group_aggregate(
+            gc_recv, tuple(parts_recv) + (vstream,),
             aggs=(combine_agg, "max"),
             agg_streams=(tuple(range(len(parts_recv))), (len(parts_recv),)))
         totals = res2
         vres = res_max[0]
         rows = jnp.arange(cap_recv, dtype=jnp.int32)
         real = (vres == 1) & (rows < ng2)
-        cnt, gk_f, *tot_f = filter_op.compact(real, gk2, *totals)
+        cnt, gk_fc, *tot_f = filter_op.compact(real, gk2c, *totals)
+        # carrier back to logical keys (f64 exits as bits, viewed on host)
+        wf = transforms.split64(gk_fc) if nk == 2 else (gk_fc,)
+        gk_f = transforms.keys_from_operands(
+            tuple(wf), key_dtype, True, as_bits=key_f64 is not None)
         return (cnt[None], gk_f) + tuple(tot_f) + (overflow[None],)
 
     # elastic recovery: double the per-range capacity on overflow
@@ -298,9 +317,23 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
     cap_p = int(capacity_factor * n_lp)
     cap_b = int(capacity_factor * n_lb)
     cap_out = out_rows_per_device or 2 * (n_lp + n_lb)
-    cap_hot = hot_rows_per_device or n_lb
+    # hot-replication budget: the gathered hot table is P * cap_hot rows
+    # per device, so the default caps it at ONE build shard total — the
+    # same memory class as the cold receive buffers, not a full-table
+    # replication (round-3 review).  Oversized hot tails raise the
+    # overflow flag; callers with genuinely heavier hot mass pass
+    # hot_rows_per_device explicitly.
+    cap_hot = hot_rows_per_device or max(128, n_lb // num_p)
     if hot_min_count is None:
-        hot_min_count = max(2, samples_per_device // 8)
+        # a key only endangers a receive buffer when its frequency
+        # approaches capacity_factor/P of the table; in the pooled
+        # sample (samples_per_device rows/device, all_gathered) that is
+        # samples_per_device * capacity_factor expected hits — demand
+        # half that, independent of mesh size (an absolute bar would
+        # sink as P grows and route ordinary keys through the broadcast
+        # path; round-3 review)
+        hot_min_count = max(2, int(samples_per_device * capacity_factor
+                                   / 2))
 
     p_dts = [np.dtype(np.asarray(p).dtype) for p in probe_payloads]
     b_dts = [np.dtype(np.asarray(p).dtype) for p in build_payloads]
@@ -349,13 +382,17 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
             sb = jax.lax.sort(tuple(kops_b) + tuple(bp_ops), num_keys=nk)
             dom_p, pp_s = sp[:nk], sp[nk:]
             dom_b, bp_s = sb[:nk], sb[nk:]
+            n_cold_p = n_cold_b = None
 
-        # shared splitters from BOTH tables' samples (key domain only:
-        # equal keys co-locate)
-        dom_cat = tuple(jnp.concatenate([a, b])
-                        for a, b in zip(dom_p, dom_b))
-        splitters = dist_sort.gather_splitters(dom_cat, axis, num_p - 1,
-                                               samples_per_device)
+        # shared splitters pooled from BOTH tables' samples (key domain
+        # only: equal keys co-locate).  In hot mode only the COLD
+        # prefixes are sampled — hot rows never enter the exchange, and
+        # letting a 50%-frequency key flood the sample would collapse
+        # half the quantile splitters onto it and concentrate the cold
+        # rows on half the mesh (round-3 review finding)
+        splitters = dist_sort.gather_splitters_parts(
+            [(tuple(dom_p), n_cold_p), (tuple(dom_b), n_cold_b)],
+            axis, num_p - 1, samples_per_device)
 
         if use_hot:
             # bounds over the cold prefix only: lexicographic compare with

@@ -173,19 +173,41 @@ def gather_splitters(domain, axis: str, num_splitters: int,
     padded buffer — without it, buffer padding dilutes the sample and the
     quantile splitters collapse toward the padding sentinel (measured:
     87% padding sent every row to device 0)."""
-    n_local = domain[0].shape[0]
-    s = min(n_local, samples_per_shard) or 1
-    if n_valid is None:
-        idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5)
-               * (n_local / s)).astype(jnp.int32)
-    else:
-        nv = jnp.maximum(n_valid, 1).astype(jnp.float32)
-        idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5)
-               * (nv / s)).astype(jnp.int32)
-        idx = jnp.minimum(idx, jnp.maximum(n_valid - 1, 0))
-    all_samples = [jax.lax.all_gather(jnp.take(w, idx), axis).reshape(-1)
-                   for w in domain]
-    flat = jax.lax.sort(tuple(all_samples), num_keys=len(domain))
+    return gather_splitters_parts([(domain, n_valid)], axis,
+                                  num_splitters, samples_per_shard)
+
+
+def gather_splitters_parts(parts, axis: str, num_splitters: int,
+                           samples_per_shard: int):
+    """gather_splitters over several locally sorted buffers pooled into
+    one sample (e.g. a join's probe and build tables, each with its own
+    valid prefix — concatenating the buffers instead would let invalid
+    tails, such as a hot-key run excluded from the exchange, flood the
+    quantiles).  `parts` is a list of (domain_words, n_valid_or_None);
+    the per-part sample count is proportional to the part's buffer size
+    so the pool weights parts like one concatenated sample would."""
+    total_local = sum(p[0][0].shape[0] for p in parts) or 1
+    nwords = len(parts[0][0])
+    pools = []
+    for domain, n_valid in parts:
+        n_local = domain[0].shape[0]
+        s = max(1, min(n_local,
+                       samples_per_shard * n_local // total_local)) \
+            if n_local else 1
+        if n_valid is None:
+            idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5)
+                   * (n_local / s)).astype(jnp.int32)
+        else:
+            nv = jnp.maximum(n_valid, 1).astype(jnp.float32)
+            idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5)
+                   * (nv / s)).astype(jnp.int32)
+            idx = jnp.minimum(idx, jnp.maximum(n_valid - 1, 0))
+        pools.append([jax.lax.all_gather(jnp.take(w, idx), axis)
+                      .reshape(-1) for w in domain])
+    all_samples = [jnp.concatenate([p[i] for p in pools])
+                   if len(pools) > 1 else pools[0][i]
+                   for i in range(nwords)]
+    flat = jax.lax.sort(tuple(all_samples), num_keys=nwords)
     flat = flat if isinstance(flat, (tuple, list)) else (flat,)
     total = all_samples[0].shape[0]
     spl_idx = ((jnp.arange(1, num_splitters + 1, dtype=jnp.float32))

@@ -251,3 +251,30 @@ def test_distributed_join_float64_keys():
                   if np.array(kb, np.float64).view(np.uint64)
                   == np.array(k, np.float64).view(np.uint64))
     assert got == want
+
+
+def test_group_aggregate_f64_bits_staging(monkeypatch):
+    """f64 keys with negatives through the TPU bits-staging path: both
+    grouping phases must run on the TRANSFORMED carrier, not the raw u64
+    bits (negative doubles sort ABOVE positives in bit order, so raw-bit
+    grouping misroutes partials across the key-range exchange and
+    returns duplicate groups with wrong sums — round-3 review)."""
+    real = dist_sort.stage_host_bits
+
+    def force(x):
+        x = np.asarray(x)
+        if x.dtype == np.float64:
+            return x.view(np.uint64), np.dtype(np.float64)
+        return real(x)
+
+    monkeypatch.setattr(dist_sort, "stage_host_bits", force)
+    rng = np.random.default_rng(11)
+    keys = rng.normal(0, 10, 8 * 256).round(1)  # dups, ~half negative
+    vals = rng.integers(0, 100, 8 * 256).astype(np.int64)
+    ng, gk, sums = dist_ops.distributed_group_aggregate(keys, vals, "sum")
+    uk, inv = np.unique(keys, return_inverse=True)
+    want = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(want, inv, vals)
+    assert ng == len(uk)
+    assert np.array_equal(gk[:ng], uk)  # globally ascending in FLOAT order
+    assert np.array_equal(np.asarray(sums[:ng]), want)
