@@ -13,6 +13,7 @@ from .dist_ops import (  # noqa: F401
     distributed_group_aggregate,
     distributed_join,
     distributed_top_k,
+    distributed_unique,
     gather_filtered,
     gather_joined,
 )

@@ -8,12 +8,17 @@ parallel/dist_sort: per-device valid counts travel with the data.
   * `distributed_filter` — embarrassingly parallel: each device compacts
     its shard locally; output stays sharded as (packed rows, counts).
   * `distributed_group_aggregate` — two-phase aggregation: per-shard
-    group_aggregate, then an all_gather of the (small) per-shard partials
-    and a final combine on every device (replicated result).  Combinable
-    aggregates only ("sum", "count", "min", "max" — "mean" travels as
-    (sum, count) partials in the same exchange).
+    group_aggregate, then a KEY-RANGE ragged exchange of the partials so
+    device p combines exactly the p-th key range — O(n_local) work and
+    traffic per device.  Combinable aggregates only ("sum", "count",
+    "min", "max" — "mean" travels as (sum, count) partials in the same
+    exchange).
+  * `distributed_join` — range-partitioned sort-merge inner join with a
+    broadcast path for sampled heavy-hitter keys.
   * `distributed_top_k` — two-level selection: local top-k, k*P-row
     gather, final top-k (exchange independent of n).
+  * `distributed_unique` — distinct keys + multiplicities via the same
+    key-range partial exchange.
 """
 
 from __future__ import annotations
@@ -541,3 +546,20 @@ def distributed_top_k(keys, *payloads, k: int, largest: bool = True,
     out = jax.jit(shard)(keys_d, *pays_d)
     # all devices hold identical answers; take the first device's row
     return tuple(np.asarray(o)[0] for o in out)
+
+
+def distributed_unique(keys, mesh: Mesh | None = None,
+                       axis: str = DEFAULT_AXIS, **kw):
+    """Distinct keys across the whole mesh with multiplicities — the mesh
+    analogue of ops.topk.unique (the reference has no distributed tier;
+    SURVEY.md section 2.11).
+
+    A thin composition over the key-range partial-aggregate exchange
+    (`distributed_group_aggregate(..., "count")`): per-shard distinct
+    runs travel as (key, count) partials, O(n_local) per device.
+    Returns (num_unique, keys_ascending, counts) as host arrays."""
+    keys = np.asarray(keys)
+    ng, gk, counts = distributed_group_aggregate(
+        keys, np.ones(keys.shape[0], np.int32), agg="count", mesh=mesh,
+        axis=axis, **kw)
+    return ng, gk, counts

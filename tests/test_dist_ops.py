@@ -278,3 +278,13 @@ def test_group_aggregate_f64_bits_staging(monkeypatch):
     assert ng == len(uk)
     assert np.array_equal(gk[:ng], uk)  # globally ascending in FLOAT order
     assert np.array_equal(np.asarray(sums[:ng]), want)
+
+
+def test_distributed_unique():
+    rng = np.random.default_rng(12)
+    keys = rng.integers(-40, 40, 8 * 256, dtype=np.int32)
+    ng, gk, counts = dist_ops.distributed_unique(keys)
+    uk, uc = np.unique(keys, return_counts=True)
+    assert ng == len(uk)
+    assert np.array_equal(gk[:ng], uk)
+    assert np.array_equal(np.asarray(counts[:ng]), uc)
