@@ -137,9 +137,12 @@ def merge_join_indices(probe_ops, n_probe_valid, build_ops, n_build_valid,
     the same rank arithmetic as inner_join_expand (this file) — the
     distributed join's local step (SURVEY.md section 7 step 5 scaled out).
     """
-    if capacity >= _SAT32:
-        raise ValueError(f"capacity {capacity} must be < {_SAT32} "
-                         "(saturating-cumsum exactness bound)")
+    # the saturating-scan bound only binds the x64-off branch below; with
+    # x64 on, the int64 cumsum is exact for any int32 capacity
+    if capacity >= _SAT32 and not jax.config.read("jax_enable_x64"):
+        raise ValueError(f"capacity {capacity} must be < {_SAT32} with "
+                         "jax_enable_x64 off (saturating-cumsum "
+                         "exactness bound)")
     n_p = probe_ops[0].shape[0]
     n_b = build_ops[0].shape[0]
     m = n_b + n_p

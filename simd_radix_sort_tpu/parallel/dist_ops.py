@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import filter as filter_op
 from ..ops import hashagg
 from ..ops import hashjoin
+from ..utils import common
 from ..utils import transforms
 from . import dist_sort
 from .dist_sort import DEFAULT_AXIS, make_mesh
@@ -88,7 +89,12 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
 
     Returns (num_groups, group_keys, result) as host arrays, group keys
     globally ascending.  agg in {"sum", "count", "min", "max", "mean"}
-    ("mean" travels as (sum, count) partials combined in one exchange)."""
+    ("mean" travels as (sum, count) partials combined in one exchange).
+
+    Float keys group by IEEE-754 totalOrder bit-distinctness, exactly
+    like the single-chip sort/group_aggregate (-0.0 is its own group
+    below +0.0, NaN bit patterns are distinct groups) — the same on
+    every backend."""
     if agg not in ("sum", "count", "min", "max", "mean"):
         raise ValueError(f"unsupported distributed aggregate {agg!r}")
     if mesh is None:
@@ -96,14 +102,20 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
     num_p = mesh.shape[axis]
     use_ragged = dist_sort.default_use_ragged(use_ragged)
     keys, key_f64 = dist_sort.stage_host_bits(np.asarray(keys))
-    if key_f64 is not None:
-        # group by IEEE equality like the unstaged (CPU) path: -0.0 and
-        # +0.0 are equal values but distinct bit patterns
-        keys = np.where(keys == np.uint64(1) << 63, np.uint64(0), keys)
     n_local = keys.shape[0] // num_p
+    values = np.asarray(values)
+    # values do arithmetic on device, so they get the same 64-bit-mode
+    # guard as keys (jnp.asarray would silently truncate int64 with x64
+    # off), and f64 values cannot ride the bits-staging trick — on
+    # lossy-f64 backends the sums would be silently approximate
+    common.check_64bit_ok(values.dtype)
+    if jax.default_backend() not in ("cpu",) and values.dtype == np.float64:
+        raise NotImplementedError(
+            "float64 aggregate values on a lossy-f64 backend would be "
+            "silently inexact; cast values to float32/int64 or run on CPU")
     sharding = NamedSharding(mesh, P(axis))
     keys_d = jax.device_put(jnp.asarray(keys), sharding)
-    vals_d = jax.device_put(jnp.asarray(np.asarray(values)), sharding)
+    vals_d = jax.device_put(jnp.asarray(values), sharding)
     key_dtype = key_f64 or keys.dtype
 
     partial_aggs = {"sum": ("sum",), "count": ("count",), "min": ("min",),
@@ -217,17 +229,16 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
 
 def _hot_keys_from_sample(domain, axis: str, samples_per_shard: int,
                           h: int, min_count: int):
-    """Top-`h` most frequent keys in a gathered strided sample of the
-    multi-word key domain (each with >= min_count sample occurrences).
-    Deterministic and computed from an all_gathered sample, so every
-    device derives the IDENTICAL hot list.  Returns (words tuple of (h,)
-    arrays, valid (h,) bool)."""
+    """Top-`h` most frequent keys in a gathered strided sample of ONE
+    table's multi-word key domain (each with >= min_count sample
+    occurrences).  Per-table on purpose: pooling both join sides dilutes
+    a key that is hot on the smaller table below any fixed threshold
+    (round-3 review).  Deterministic and computed from an all_gathered
+    sample, so every device derives the IDENTICAL hot list.  Returns
+    (words tuple of (h',) arrays, valid (h',) bool), h' <= h."""
     n_local = domain[0].shape[0]
     s = min(n_local, samples_per_shard) or 1
-    idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5)
-           * (n_local / s)).astype(jnp.int32)
-    samples = [jax.lax.all_gather(jnp.take(w, idx), axis).reshape(-1)
-               for w in domain]
+    samples = dist_sort.sample_strided(domain, axis, s)
     swords = jax.lax.sort(tuple(samples), num_keys=len(domain))
     swords = swords if isinstance(swords, (tuple, list)) else (swords,)
     total = swords[0].shape[0]
@@ -240,7 +251,7 @@ def _hot_keys_from_sample(domain, axis: str, samples_per_shard: int,
     run_len = pos - run_start + 1
     is_last = jnp.roll(neq, -1).at[total - 1].set(True)
     score = jnp.where(is_last, run_len, -1)  # run length at its last row
-    counts, top_pos = jax.lax.top_k(score, h)
+    counts, top_pos = jax.lax.top_k(score, min(h, total))
     words = tuple(jnp.take(w, top_pos) for w in swords)
     return words, counts >= min_count
 
@@ -275,15 +286,18 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
 
     HEAVY HITTERS (round-2 VERDICT item 5): a single key whose rows
     exceed a receive buffer can never be range-partitioned (equal keys
-    co-locate), so the top-`hot_keys` most frequent keys of the gathered
-    sample (>= hot_min_count occurrences; every device derives the same
-    list) take a broadcast-join path instead: their BUILD rows are
-    all_gathered to every device and their PROBE rows never move — each
-    device joins its local hot probe rows against the replicated hot
-    build table, while cold keys use the range exchange as before.  This
-    is the skew-repartitioning of north-star config 5; hot_keys=0
-    disables it.  `hot_rows_per_device` caps one device's replicated hot
-    build rows (default: a full build shard — the broadcast-join bound).
+    co-locate), so the top-`hot_keys` most frequent keys of EACH table's
+    gathered sample (>= hot_min_count occurrences of that table's
+    sample, default half the overflow frequency; every device derives
+    the same lists) take a broadcast-join path instead: their BUILD rows
+    are all_gathered to every device and their PROBE rows never move —
+    each device joins its local hot probe rows against the replicated
+    hot build table, while cold keys use the range exchange as before.
+    This is the skew-repartitioning of north-star config 5; hot_keys=0
+    disables it.  `hot_rows_per_device` caps one device's CONTRIBUTED
+    hot build rows (default n_build/P^2, so the gathered hot table
+    totals one build shard — the same memory class as a receive buffer);
+    oversized hot tails set the overflow flag.
 
     Returns (counts, out_keys, out_probe_payloads, out_build_payloads,
     overflow): per-device padded outputs — device p holds matches for the
@@ -329,16 +343,17 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
     # overflow flag; callers with genuinely heavier hot mass pass
     # hot_rows_per_device explicitly.
     cap_hot = hot_rows_per_device or max(128, n_lb // num_p)
-    if hot_min_count is None:
-        # a key only endangers a receive buffer when its frequency
-        # approaches capacity_factor/P of the table; in the pooled
-        # sample (samples_per_device rows/device, all_gathered) that is
-        # samples_per_device * capacity_factor expected hits — demand
-        # half that, independent of mesh size (an absolute bar would
-        # sink as P grows and route ordinary keys through the broadcast
-        # path; round-3 review)
-        hot_min_count = max(2, int(samples_per_device * capacity_factor
-                                   / 2))
+    # a key only endangers a receive buffer when its frequency in ITS
+    # table approaches capacity_factor/P; in that table's gathered
+    # sample (s rows/device) that is s * capacity_factor expected hits —
+    # demand half, independent of mesh size (an absolute bar would sink
+    # as P grows and route ordinary keys through the broadcast path;
+    # round-3 review)
+    def _mc(n_l):
+        return hot_min_count if hot_min_count is not None else max(
+            2, int(min(n_l, samples_per_device) * capacity_factor / 2))
+
+    mc_p, mc_b = _mc(n_lp), _mc(n_lb)
 
     p_dts = [np.dtype(np.asarray(p).dtype) for p in probe_payloads]
     b_dts = [np.dtype(np.asarray(p).dtype) for p in build_payloads]
@@ -360,12 +375,17 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
         use_hot = hot_keys > 0
 
         if use_hot:
-            # hot list from an (unsorted) strided sample of BOTH tables;
-            # identical on every device (all_gathered sample, see helper)
-            cat0 = tuple(jnp.concatenate([a, b])
-                         for a, b in zip(kops_p, kops_b))
-            hot_words, hot_valid = _hot_keys_from_sample(
-                cat0, axis, samples_per_device, hot_keys, hot_min_count)
+            # per-table hot lists (a key hot on EITHER side must be
+            # broadcast — sampling the concatenation would dilute a key
+            # that dominates only the smaller table), unioned; identical
+            # on every device (all_gathered samples, see helper)
+            hw_p, hv_p = _hot_keys_from_sample(
+                kops_p, axis, samples_per_device, hot_keys, mc_p)
+            hw_b, hv_b = _hot_keys_from_sample(
+                kops_b, axis, samples_per_device, hot_keys, mc_b)
+            hot_words = tuple(jnp.concatenate([a, b])
+                              for a, b in zip(hw_p, hw_b))
+            hot_valid = jnp.concatenate([hv_p, hv_b])
             flag_p = _match_any(kops_p, hot_words,
                                 hot_valid).astype(jnp.uint8)
             flag_b = _match_any(kops_b, hot_words,

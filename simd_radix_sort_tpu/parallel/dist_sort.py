@@ -177,6 +177,25 @@ def gather_splitters(domain, axis: str, num_splitters: int,
                                   num_splitters, samples_per_shard)
 
 
+def sample_strided(domain, axis: str, s: int, n_valid=None):
+    """`s` evenly strided rows from each shard's (valid prefix of the)
+    multi-word domain, all_gathered along `axis`.  The one sampling
+    primitive behind splitter selection AND heavy-hitter detection — a
+    precision or striding fix lands in both.  Returns a list of (s*P,)
+    words."""
+    n_local = domain[0].shape[0]
+    if n_valid is None:
+        idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5)
+               * (n_local / s)).astype(jnp.int32)
+    else:
+        nv = jnp.maximum(n_valid, 1).astype(jnp.float32)
+        idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5)
+               * (nv / s)).astype(jnp.int32)
+        idx = jnp.minimum(idx, jnp.maximum(n_valid - 1, 0))
+    return [jax.lax.all_gather(jnp.take(w, idx), axis).reshape(-1)
+            for w in domain]
+
+
 def gather_splitters_parts(parts, axis: str, num_splitters: int,
                            samples_per_shard: int):
     """gather_splitters over several locally sorted buffers pooled into
@@ -194,16 +213,7 @@ def gather_splitters_parts(parts, axis: str, num_splitters: int,
         s = max(1, min(n_local,
                        samples_per_shard * n_local // total_local)) \
             if n_local else 1
-        if n_valid is None:
-            idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5)
-                   * (n_local / s)).astype(jnp.int32)
-        else:
-            nv = jnp.maximum(n_valid, 1).astype(jnp.float32)
-            idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5)
-                   * (nv / s)).astype(jnp.int32)
-            idx = jnp.minimum(idx, jnp.maximum(n_valid - 1, 0))
-        pools.append([jax.lax.all_gather(jnp.take(w, idx), axis)
-                      .reshape(-1) for w in domain])
+        pools.append(sample_strided(domain, axis, s, n_valid))
     all_samples = [jnp.concatenate([p[i] for p in pools])
                    if len(pools) > 1 else pools[0][i]
                    for i in range(nwords)]

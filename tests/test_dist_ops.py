@@ -269,15 +269,30 @@ def test_group_aggregate_f64_bits_staging(monkeypatch):
 
     monkeypatch.setattr(dist_sort, "stage_host_bits", force)
     rng = np.random.default_rng(11)
-    keys = rng.normal(0, 10, 8 * 256).round(1)  # dups, ~half negative
-    vals = rng.integers(0, 100, 8 * 256).astype(np.int64)
+    keys = rng.normal(0, 10, 8 * 256).round(1)  # dups, ~half negative,
+    vals = rng.integers(0, 100, 8 * 256).astype(np.int64)  # incl. -0.0
     ng, gk, sums = dist_ops.distributed_group_aggregate(keys, vals, "sum")
-    uk, inv = np.unique(keys, return_inverse=True)
-    want = np.zeros(len(uk), dtype=np.int64)
+    # expected: totalOrder grouping — distinct BIT patterns (-0.0 is its
+    # own group), ordered by the sign-magnitude carrier (float order with
+    # -0.0 immediately below +0.0) — identical to the unstaged path
+    bits = keys.view(np.uint64)
+    ub, inv = np.unique(bits, return_inverse=True)
+    want = np.zeros(len(ub), dtype=np.int64)
     np.add.at(want, inv, vals)
-    assert ng == len(uk)
-    assert np.array_equal(gk[:ng], uk)  # globally ascending in FLOAT order
-    assert np.array_equal(np.asarray(sums[:ng]), want)
+    sbit = np.uint64(1) << np.uint64(63)
+    car = np.where(ub & sbit, ~ub, ub | sbit)
+    order = np.argsort(car)
+    assert ng == len(ub)
+    assert np.array_equal(gk[:ng].view(np.uint64), ub[order])
+    assert np.array_equal(np.asarray(sums[:ng]), want[order])
+    # and the unstaged (CPU-native f64) path agrees exactly
+    monkeypatch.setattr(dist_sort, "stage_host_bits", real)
+    ng2, gk2, sums2 = dist_ops.distributed_group_aggregate(
+        keys, vals, "sum")
+    assert ng2 == ng
+    assert np.array_equal(np.asarray(gk2[:ng]).view(np.uint64),
+                          gk[:ng].view(np.uint64))
+    assert np.array_equal(np.asarray(sums2[:ng]), np.asarray(sums[:ng]))
 
 
 def test_distributed_unique():
@@ -288,3 +303,28 @@ def test_distributed_unique():
     assert ng == len(uk)
     assert np.array_equal(gk[:ng], uk)
     assert np.array_equal(np.asarray(counts[:ng]), uc)
+
+
+def test_distributed_join_hot_on_smaller_table():
+    """A key hot on only ONE side of a size-asymmetric join (50% of the
+    probe table; build 16x larger) must still take the broadcast path:
+    pooled-sample detection diluted its frequency below any fixed bar
+    and overflowed the receive buffer (round-3 review, verified repro).
+    Detection is per table now."""
+    rng = np.random.default_rng(45)
+    n_p, n_b = 8 * 128, 8 * 2048
+    pk = rng.integers(0, 1 << 20, n_p).astype(np.uint32)
+    pk[rng.random(n_p) < 0.5] = np.uint32(777)
+    bk = rng.integers(0, 1 << 20, n_b).astype(np.uint32)
+    bk[:8] = np.uint32(777)
+    pp = np.arange(n_p, dtype=np.int32)
+    bp = np.arange(n_b, dtype=np.int32)
+    counts, k_out, opp, obp, ov, meta = dist_ops.distributed_join(
+        pk, (pp,), bk, (bp,), capacity_factor=2.0,
+        out_rows_per_device=1 << 16)
+    assert not np.asarray(ov).any()
+    gk, (gpp,), (gbp,) = dist_ops.gather_joined(counts, k_out, opp, obp)
+    got = sorted(zip(gk.tolist(), gpp.tolist(), gbp.tolist()))
+    want = _np_inner_join(pk.tolist(), pp.tolist(), bk.tolist(),
+                          bp.tolist())
+    assert got == want

@@ -1,5 +1,6 @@
 """merge_join_indices: the padded sort-merge join primitive."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -69,10 +70,14 @@ def test_merge_join_indices_x64_off_matches():
 
 
 def test_merge_join_indices_capacity_bound():
-    with pytest.raises(ValueError, match="capacity"):
-        hashjoin.merge_join_indices(
-            _ops(np.zeros(4, np.uint32), np.uint32), 4,
-            _ops(np.zeros(4, np.uint32), np.uint32), 4, 1 << 30)
+    # the saturating-scan exactness bound applies only with x64 off; with
+    # x64 on the int64 cumsum is exact for any int32 capacity and large
+    # capacities must NOT be rejected (round-3 review)
+    with jax.enable_x64(False):
+        with pytest.raises(ValueError, match="capacity"):
+            hashjoin.merge_join_indices(
+                _ops(np.zeros(4, np.uint32), np.uint32), 4,
+                _ops(np.zeros(4, np.uint32), np.uint32), 4, 1 << 30)
 
 
 def test_merge_join_indices_truncation():
