@@ -25,6 +25,7 @@ from simd_radix_sort_tpu.parallel import dist_ops, dist_sort  # noqa: E402
 
 def main():
     import jax
+    jax.config.update("jax_enable_x64", True)  # int64 revenue sums below
     n_dev = len(jax.devices())
     mesh = dist_sort.make_mesh()
     rng = np.random.default_rng(11)
