@@ -190,16 +190,25 @@ def main():
                     help="CI-sized subset (3 key types), exit 0/1")
     ap.add_argument("--methods", action="store_true",
                     help="also sweep engines on fixed combos")
+    ap.add_argument("--large", action="store_true",
+                    help="n=100k cells on headline combos (separate arm)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.out is None:
-        # the sampled CI gate must never clobber the committed full-matrix
-        # artifact
+        # the sampled CI gate / large run must never clobber the
+        # committed full-matrix artifact
         args.out = os.path.join(
-            REPO, "GOLDEN_sample.json" if args.sample else "GOLDEN_r03.json")
+            REPO, "GOLDEN_sample.json" if args.sample
+            else "GOLDEN_LARGE_r03.json" if args.large
+            else "GOLDEN_r03.json")
 
     all_dists = list(D.Distribution)
-    if args.sample:
+    if args.large:
+        key_names = ["uint32", "uint64", "float64", "int16", "uint8"]
+        pshape_ids = [0, 4, 6]
+        dists = [D.Distribution.UNIFORM, D.Distribution.ZERO_ONE]
+        ns = (100_000,)
+    elif args.sample:
         key_names = ["uint32", "uint64", "float32"]
         pshape_ids = [0, 4, 8]
         dists = [D.Distribution.UNIFORM, D.Distribution.GAUSSIAN]
