@@ -54,6 +54,33 @@ def fence_time(fn, args, reps=3):
     return timeit(fn, args, reps=reps, warmup=1)
 
 
+def parse_xplane(tdir):
+    """Sum per-kernel event durations from the newest xplane proto under
+    `tdir` (plane -> {event name: total us}), device planes only."""
+    import glob
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(
+        tdir, "plugins", "profile", "*", "*.xplane.pb"))
+    path = max(paths, key=os.path.getmtime)
+    space = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        space.ParseFromString(f.read())
+    out = {}
+    for plane in space.planes:
+        if not any(t in plane.name for t in ("TPU", "/device", "Device")):
+            continue
+        evs = {}
+        for line in plane.lines:
+            for ev in line.events:
+                name = plane.event_metadata[ev.metadata_id].name
+                evs[name] = evs.get(name, 0.0) + ev.duration_ps / 1e6
+        if evs:
+            out[plane.name] = evs
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 18)
@@ -127,13 +154,23 @@ def main():
     noop = jax.jit(lambda x: x[:1] ^ jnp.uint8(1))
     cell("noop dispatch floor", timeit(noop, [u], reps=50, warmup=2))
 
-    # 5. profiler trace artifact of the dispatched path
+    # 5. profiler trace artifact of the dispatched path, with a parsed
+    # per-kernel breakdown (xplane protos; tensorflow is baked in)
     tdir = "/tmp/srs_u8_trace"
     with jax.profiler.trace(tdir):
         for _ in range(10):
             out = sort8(u)
         np.asarray(out.ravel()[:1])
     report["trace_dir"] = tdir
+    try:
+        report["trace_planes"] = parse_xplane(tdir)
+        for plane, evs in report["trace_planes"].items():
+            print(f"  [{plane}]")
+            for name, us in sorted(evs.items(), key=lambda kv: -kv[1])[:12]:
+                print(f"    {us:10.1f} us  {name[:70]}")
+    except Exception as e:  # trace schema varies by backend — keep the raw dir
+        report["trace_parse_error"] = repr(e)
+        print(f"trace parse failed: {e!r}")
     print(f"profiler trace -> {tdir}")
 
     out_path = os.path.join(os.path.dirname(__file__), "..",
