@@ -38,6 +38,13 @@ from . import dist_sort
 from .dist_sort import DEFAULT_AXIS, make_mesh
 
 
+def _check_divisible(n, mesh, axis, what):
+    num_p = mesh.shape[axis]
+    if n % num_p:
+        raise ValueError(f"{what}: global length {n} not divisible by "
+                         f"mesh size {num_p}")
+
+
 def distributed_filter(predicate, keys, *payloads, mesh: Mesh | None = None,
                        axis: str = DEFAULT_AXIS):
     """Filter a row-sharded table.  Returns (counts, keys, payloads...):
@@ -45,19 +52,36 @@ def distributed_filter(predicate, keys, *payloads, mesh: Mesh | None = None,
     per-device valid count (P,)."""
     if mesh is None:
         mesh = make_mesh()
+    keys = np.asarray(keys)
+    pays = [np.asarray(p) for p in payloads]
+    # same 64-bit-mode guard as every other distributed entry: without it
+    # jnp.asarray silently truncates int64/uint64 streams when x64 is
+    # off and the predicate filters corrupted values (round-3 review)
+    for arr in [keys] + pays:
+        common.check_64bit_ok(arr.dtype)
+        if jax.default_backend() != "cpu" and arr.dtype == np.float64:
+            raise NotImplementedError(
+                "float64 streams on a lossy-f64 backend cannot be "
+                "filtered in logical form; view them as uint64 bits "
+                "(.view(np.uint64)) and filter on bits, or run on CPU")
+    _check_divisible(keys.shape[0], mesh, axis, "distributed_filter keys")
     sharding = NamedSharding(mesh, P(axis))
-    keys_d = jax.device_put(jnp.asarray(np.asarray(keys)), sharding)
-    pays_d = tuple(jax.device_put(jnp.asarray(np.asarray(p)), sharding)
-                   for p in payloads)
+    keys_d = jax.device_put(jnp.asarray(keys), sharding)
+    pays_d = tuple(jax.device_put(jnp.asarray(p), sharding) for p in pays)
 
     def local(k, *ps):
         out = filter_op.filter_rows(predicate, k, *ps)
         return (out[0][None],) + tuple(out[1:])
 
-    shard = jax.shard_map(
-        local, mesh=mesh, in_specs=(P(axis),) * (1 + len(payloads)),
-        out_specs=(P(axis),) * (2 + len(payloads)))
-    out = jax.jit(shard)(keys_d, *pays_d)
+    fn = dist_sort.cached_jit(
+        # the predicate object itself is the key (id() could be reused
+        # after GC); the cache's FIFO cap bounds the resulting liveness
+        ("filter", mesh, axis, predicate, keys.shape, keys.dtype.str,
+         tuple((p.shape, p.dtype.str) for p in pays)),
+        lambda: jax.shard_map(
+            local, mesh=mesh, in_specs=(P(axis),) * (1 + len(payloads)),
+            out_specs=(P(axis),) * (2 + len(payloads))))
+    out = fn(keys_d, *pays_d)
     return out[0], out[1], tuple(out[2:])
 
 
@@ -102,8 +126,13 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
     num_p = mesh.shape[axis]
     use_ragged = dist_sort.default_use_ragged(use_ragged)
     keys, key_f64 = dist_sort.stage_host_bits(np.asarray(keys))
+    _check_divisible(keys.shape[0], mesh, axis,
+                     "distributed_group_aggregate keys")
     n_local = keys.shape[0] // num_p
     values = np.asarray(values)
+    if values.shape[0] != keys.shape[0]:
+        raise ValueError(f"values length {values.shape[0]} != keys "
+                         f"length {keys.shape[0]}")
     # values do arithmetic on device, so they get the same 64-bit-mode
     # guard as keys (jnp.asarray would silently truncate int64 with x64
     # off), and f64 values cannot ride the bits-staging trick — on
@@ -198,11 +227,15 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
     cap = capacity_factor
     for attempt in range(max_retries + 1):
         cap_recv = max(int(cap * n_local), 1)
-        shard = jax.shard_map(
-            lambda k, v: local(cap_recv, k, v), mesh=mesh,
-            in_specs=(P(axis), P(axis)),
-            out_specs=(P(axis),) * (3 + len(partial_aggs)))
-        out = jax.jit(shard)(keys_d, vals_d)
+        fn = dist_sort.cached_jit(
+            ("aggregate", mesh, axis, agg, cap_recv, samples_per_device,
+             use_ragged, str(key_f64), keys.shape, keys.dtype.str,
+             values.dtype.str),
+            lambda: jax.shard_map(
+                lambda k, v: local(cap_recv, k, v), mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=(P(axis),) * (3 + len(partial_aggs))))
+        out = fn(keys_d, vals_d)
         if not bool(np.asarray(out[-1]).any()):
             break
         if attempt == max_retries or cap >= num_p:
@@ -238,6 +271,9 @@ def _hot_keys_from_sample(domain, axis: str, samples_per_shard: int,
     (words tuple of (h',) arrays, valid (h',) bool), h' <= h."""
     n_local = domain[0].shape[0]
     s = min(n_local, samples_per_shard) or 1
+    if n_local == 0:  # empty table: no hot keys (don't score the zeros)
+        return (tuple(jnp.zeros(1, w.dtype) for w in domain),
+                jnp.zeros(1, jnp.bool_))
     samples = dist_sort.sample_strided(domain, axis, s)
     swords = jax.lax.sort(tuple(samples), num_keys=len(domain))
     swords = swords if isinstance(swords, (tuple, list)) else (swords,)
@@ -294,7 +330,11 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
     each device joins its local hot probe rows against the replicated
     hot build table, while cold keys use the range exchange as before.
     This is the skew-repartitioning of north-star config 5; hot_keys=0
-    disables it.  `hot_rows_per_device` caps one device's CONTRIBUTED
+    disables it.  The hot machinery costs a constant factor even when the
+    sample finds nothing hot (the flag sort, a one-shard hot-window
+    gather, and a second local merge join are unconditional — static
+    shapes; a data-dependent skip would put collectives under lax.cond) —
+    set hot_keys=0 for workloads known to be uniform.  `hot_rows_per_device` caps one device's CONTRIBUTED
     hot build rows (default n_build/P^2, so the gathered hot table
     totals one build shard — the same memory class as a receive buffer);
     oversized hot tails set the overflow flag.
@@ -372,7 +412,9 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
         nk = len(kops_p)
         pp_ops = dist_sort.split_payload_streams(pp_l, p_dts)
         bp_ops = dist_sort.split_payload_streams(bp_l, b_dts)
-        use_hot = hot_keys > 0
+        # an empty table makes hot handling moot (no matches possible)
+        # and its 0-row buffers cannot be gathered from
+        use_hot = hot_keys > 0 and n_lp > 0 and n_lb > 0
 
         if use_hot:
             # per-table hot lists (a key hot on EITHER side must be
@@ -448,7 +490,10 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
               + jax.lax.pmax((total_c > cap_out).astype(jnp.int32), axis))
 
         def g(words, idx, valid):
+            # a 0-capacity stream (empty table side) yields zeros: takes
+            # from an empty axis do not lower
             return tuple(jnp.where(valid, jnp.take(w, idx), 0)
+                         if w.shape[0] else jnp.zeros(idx.shape, w.dtype)
                          for w in words)
 
         out_kops = g(recv_p[:nk], pidx_c, valid_c)
@@ -506,11 +551,16 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
         return (count[None], keys_out) + out_pp + out_bp + (ov[None],)
 
     n_out = 2 + len(p_dts) + len(b_dts) + 1
-    shard = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axis),) * (2 + len(p_dts) + len(b_dts)),
-        out_specs=(P(axis),) * n_out)
-    out = jax.jit(shard)(pk, bk, *pp, *bp)
+    fn = dist_sort.cached_jit(
+        ("join", mesh, axis, cap_p, cap_b, cap_out, cap_hot, hot_keys,
+         mc_p, mc_b, samples_per_device, use_ragged, str(key_f64),
+         probe_keys.shape, build_keys.shape, probe_keys.dtype.str,
+         tuple(dt.str for dt in p_dts), tuple(dt.str for dt in b_dts)),
+        lambda: jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis),) * (2 + len(p_dts) + len(b_dts)),
+            out_specs=(P(axis),) * n_out))
+    out = fn(pk, bk, *pp, *bp)
     counts, keys_out = out[0], out[1]
     out_pp = tuple(out[2: 2 + len(p_dts)])
     out_bp = tuple(out[2 + len(p_dts): 2 + len(p_dts) + len(b_dts)])
@@ -549,23 +599,43 @@ def distributed_top_k(keys, *payloads, k: int, largest: bool = True,
     from ..ops import topk
     if mesh is None:
         mesh = make_mesh()
+    # 64-bit guard + f64-as-bits staging, like every distributed entry:
+    # bare jnp.asarray silently truncated int64 keys with x64 off and
+    # returned the wrong rows (round-3 review, confirmed repro)
+    keys, key_f64 = dist_sort.stage_host_bits(np.asarray(keys))
+    staged = [dist_sort.stage_host_bits(np.asarray(p)) for p in payloads]
+    pays = [p for p, _ in staged]
+    pay_f64 = [dt for _, dt in staged]
+    _check_divisible(keys.shape[0], mesh, axis, "distributed_top_k keys")
+    if k > keys.shape[0]:
+        raise ValueError(f"k={k} exceeds global row count {keys.shape[0]}")
     sharding = NamedSharding(mesh, P(axis))
-    keys_d = jax.device_put(jnp.asarray(np.asarray(keys)), sharding)
-    pays_d = tuple(jax.device_put(jnp.asarray(np.asarray(p)), sharding)
-                   for p in payloads)
+    keys_d = jax.device_put(jnp.asarray(keys), sharding)
+    pays_d = tuple(jax.device_put(jnp.asarray(p), sharding) for p in pays)
 
     def local(kk, *ps):
-        loc = topk.top_k(kk, *ps, k=min(k, kk.shape[0]), largest=largest)
+        loc = topk.top_k(kk, *ps, k=min(k, kk.shape[0]), largest=largest,
+                         key_dtype=key_f64)
         gathered = [jax.lax.all_gather(s, axis).reshape(-1) for s in loc]
-        fin = topk.top_k(gathered[0], *gathered[1:], k=k, largest=largest)
+        fin = topk.top_k(gathered[0], *gathered[1:], k=k, largest=largest,
+                         key_dtype=key_f64)
         return tuple(f[None] for f in fin)  # replicated -> per-device row
 
-    shard = jax.shard_map(
-        local, mesh=mesh, in_specs=(P(axis),) * (1 + len(payloads)),
-        out_specs=(P(axis),) * (1 + len(payloads)))
-    out = jax.jit(shard)(keys_d, *pays_d)
+    fn = dist_sort.cached_jit(
+        ("top_k", mesh, axis, k, largest, str(key_f64), keys.shape,
+         keys.dtype.str, tuple((p.shape, p.dtype.str) for p in pays)),
+        lambda: jax.shard_map(
+            local, mesh=mesh, in_specs=(P(axis),) * (1 + len(payloads)),
+            out_specs=(P(axis),) * (1 + len(payloads))))
+    out = fn(keys_d, *pays_d)
     # all devices hold identical answers; take the first device's row
-    return tuple(np.asarray(o)[0] for o in out)
+    host = [np.asarray(o)[0] for o in out]
+    if key_f64 is not None:
+        host[0] = host[0].view(key_f64)
+    for i, dt in enumerate(pay_f64):
+        if dt is not None:
+            host[1 + i] = host[1 + i].view(dt)
+    return tuple(host)
 
 
 def distributed_unique(keys, mesh: Mesh | None = None,

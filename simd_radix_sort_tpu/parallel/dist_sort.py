@@ -62,6 +62,26 @@ def default_use_ragged(use_ragged: bool | None) -> bool:
     return use_ragged
 
 
+_TRACE_CACHE: dict = {}
+_TRACE_CACHE_MAX = 64
+
+
+def cached_jit(key, make):
+    """Memo of jitted entry programs.  jax.jit caches traces per function
+    OBJECT, and the host entries used to build a fresh shard_map + jit
+    closure on every call (and every elastic retry), so identical-shape
+    calls paid full retrace — seconds per call for these graphs on a
+    1-core host (round-3 review).  `key` must cover every static that
+    shapes the traced program (mesh, axis, capacities, dtypes, shapes,
+    flags); `make` builds the callable to jit on miss."""
+    fn = _TRACE_CACHE.get(key)
+    if fn is None:
+        if len(_TRACE_CACHE) >= _TRACE_CACHE_MAX:
+            _TRACE_CACHE.pop(next(iter(_TRACE_CACHE)))
+        fn = _TRACE_CACHE[key] = jax.jit(make())
+    return fn
+
+
 def exchange_by_bounds(streams, bounds, axis: str, cap_recv: int,
                        use_ragged: bool, n_valid=None):
     """Bucketed all-to-all of locally-contiguous buckets (the shared
@@ -86,6 +106,12 @@ def exchange_by_bounds(streams, bounds, axis: str, cap_recv: int,
     my = jax.lax.axis_index(axis)
     num_p = jax.lax.axis_size(axis)
     n_local = streams[0].shape[0]
+    if n_local == 0:
+        # static-shape SPMD: every device sees the same (empty) shard, so
+        # skipping the collective uniformly is consistent; gathers from a
+        # 0-row operand do not lower (round-3 review)
+        return ([jnp.zeros((cap_recv,), s.dtype) for s in streams],
+                jnp.int32(0), jnp.zeros((), jnp.int32))
     # rows past n_valid (buffer padding from an earlier exchange) are
     # never shipped: bounds clip to it and the last bucket ends there
     end_last = (jnp.int32(n_local) if n_valid is None
@@ -96,18 +122,22 @@ def exchange_by_bounds(streams, bounds, axis: str, cap_recv: int,
     lens = ends - starts  # send_sizes (P,)
 
     L = jax.lax.all_gather(lens, axis)          # L[src, dst]
-    recv_sizes = L[:, my]                       # (P,) from each src
-    total_raw = jnp.sum(recv_sizes)
+    total_raw = jnp.sum(L[:, my])
     overflow = total_raw > cap_recv
     total_recv = jnp.minimum(total_raw, cap_recv)
-    # where my chunk lands on each destination: after all earlier srcs
+    # never write out of a destination buffer even when overflowing
+    # (results are then incomplete and the overflow flag is set).  The
+    # clip is applied to the WHOLE replicated size matrix so that the
+    # sender's send_sizes and the receiver's recv_sizes are the same
+    # numbers — ragged_all_to_all requires consistent metadata on both
+    # ends, and clipping only the send side would leave the overflowing
+    # receiver waiting on rows nobody sends (round-3 review).
     csum_dst = jnp.cumsum(L, axis=0) - L        # exclusive over src
-    output_offsets = csum_dst[my, :]            # (P,) for my sends
-    # never write out of the destination buffer even when overflowing
-    # (results are then incomplete and the overflow flag is set)
-    allowed = jnp.clip(cap_recv - output_offsets, 0, None)
-    lens = jnp.minimum(lens, allowed)
-    output_offsets = jnp.clip(output_offsets, 0, max(cap_recv - 1, 0))
+    allowed = jnp.clip(cap_recv - csum_dst, 0, None)
+    Lc = jnp.minimum(L, allowed)                # clipped sizes, replicated
+    lens = Lc[my, :]                            # what I send
+    recv_sizes = Lc[:, my]                      # what I receive
+    output_offsets = jnp.clip(csum_dst[my, :], 0, max(cap_recv - 1, 0))
 
     if use_ragged:
         def exchange(stream):
@@ -182,8 +212,15 @@ def sample_strided(domain, axis: str, s: int, n_valid=None):
     multi-word domain, all_gathered along `axis`.  The one sampling
     primitive behind splitter selection AND heavy-hitter detection — a
     precision or striding fix lands in both.  Returns a list of (s*P,)
-    words."""
+    words.
+
+    An empty shard (or one whose valid prefix is empty) contributes `s`
+    zero rows; callers that must not let those perturb quantiles carry a
+    validity channel alongside (gather_splitters_parts does)."""
     n_local = domain[0].shape[0]
+    if n_local == 0:
+        return [jax.lax.all_gather(jnp.zeros(s, w.dtype), axis).reshape(-1)
+                for w in domain]
     if n_valid is None:
         idx = ((jnp.arange(s, dtype=jnp.float32) + 0.5)
                * (n_local / s)).astype(jnp.int32)
@@ -207,21 +244,35 @@ def gather_splitters_parts(parts, axis: str, num_splitters: int,
     so the pool weights parts like one concatenated sample would."""
     total_local = sum(p[0][0].shape[0] for p in parts) or 1
     nwords = len(parts[0][0])
-    pools = []
+    pools, valids = [], []
     for domain, n_valid in parts:
         n_local = domain[0].shape[0]
         s = max(1, min(n_local,
                        samples_per_shard * n_local // total_local)) \
             if n_local else 1
         pools.append(sample_strided(domain, axis, s, n_valid))
-    all_samples = [jnp.concatenate([p[i] for p in pools])
-                   if len(pools) > 1 else pools[0][i]
-                   for i in range(nwords)]
-    flat = jax.lax.sort(tuple(all_samples), num_keys=nwords)
-    flat = flat if isinstance(flat, (tuple, list)) else (flat,)
-    total = all_samples[0].shape[0]
+        # a shard whose valid prefix is empty still contributes s rows
+        # (row 0 / zeros) — mark them invalid so they cannot drag the
+        # quantiles (e.g. an all-hot join shard whose "cold sample"
+        # would otherwise be the hot key itself; round-3 review)
+        if n_local == 0:
+            v = jnp.zeros(s, jnp.bool_)
+        elif n_valid is None:
+            v = jnp.ones(s, jnp.bool_)
+        else:
+            v = jnp.broadcast_to(n_valid > 0, (s,))
+        valids.append(jax.lax.all_gather(v, axis).reshape(-1))
+    cat = (lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0])
+    all_samples = [cat([p[i] for p in pools]) for i in range(nwords)]
+    inval = (~cat(valids)).astype(jnp.uint8)
+    # invalid samples sort to the tail; quantiles read the valid prefix
+    flat = jax.lax.sort((inval,) + tuple(all_samples),
+                        num_keys=1 + nwords)[1:]
+    n_ok = jnp.sum(inval == 0, dtype=jnp.int32)
+    denom = jnp.maximum(n_ok, 1).astype(jnp.float32)
     spl_idx = ((jnp.arange(1, num_splitters + 1, dtype=jnp.float32))
-               * (total / (num_splitters + 1))).astype(jnp.int32)
+               * (denom / (num_splitters + 1))).astype(jnp.int32)
+    spl_idx = jnp.minimum(spl_idx, jnp.maximum(n_ok - 1, 0))
     return tuple(jnp.take(w, spl_idx) for w in flat)
 
 
@@ -285,6 +336,12 @@ def splitter_sort_core(kops, pl_ops, axis: str, num_p: int, cap_recv: int,
     (kops_final, pays_final, count, overflow)."""
     my = jax.lax.axis_index(axis)
     n_local = kops[0].shape[0]
+    if n_local * num_p >= 2**32:
+        raise ValueError(
+            f"global rows {n_local * num_p} >= 2^32: the u32 "
+            "device-interleaved position tie-break would wrap and "
+            "duplicate-heavy inputs would lose their balance guarantee; "
+            "split the table into <4B-row sorts")
     nk = len(kops)
     sorted_ops = jax.lax.sort(tuple(kops) + tuple(pl_ops), num_keys=nk,
                               is_stable=False)
@@ -385,10 +442,15 @@ def distributed_sort(keys, *payloads, mesh: Mesh | None = None,
     num_p = mesh.shape[axis]
     cap = capacity_factor
     for attempt in range(max_retries + 1):
-        fn = jax.jit(functools.partial(
-            distributed_sort_sharded, mesh=mesh, axis=axis,
-            ascending=ascending, capacity_factor=cap,
-            samples_per_device=samples_per_device, key_dtype=key_dtype))
+        fn = cached_jit(
+            ("sort", mesh, axis, ascending, cap, samples_per_device,
+             str(key_dtype), keys.shape, keys.dtype.str,
+             tuple((p.shape, p.dtype.str) for p in payloads)),
+            lambda: functools.partial(
+                distributed_sort_sharded, mesh=mesh, axis=axis,
+                ascending=ascending, capacity_factor=cap,
+                samples_per_device=samples_per_device,
+                key_dtype=key_dtype))
         out_keys, out_pays, counts, overflow = fn(keys_d, pays_d)
         if not bool(np.asarray(overflow).any()):
             break
@@ -500,7 +562,13 @@ def distributed_sort_multi(keys_columns, *payloads,
     cap = capacity_factor
     for attempt in range(max_retries + 1):
         cap_recv = max(int(math.ceil(cap * (n // num_p))), 1)
-        fn = jax.jit(shard(functools.partial(local_fn, cap_recv)))
+        fn = cached_jit(
+            ("sort_multi", mesh, axis, tuple(ascending), cap_recv,
+             samples_per_device, use_ragged, n,
+             tuple(str(dt) for dt in col_logical),
+             tuple(c.dtype.str for c in cols_d),
+             tuple((p.shape, p.dtype.str) for p in pays_d)),
+            lambda: shard(functools.partial(local_fn, cap_recv)))
         out_cols, out_pays, counts, overflow = fn(*cols_d, *pays_d)
         if not bool(np.asarray(overflow).any()):
             break

@@ -122,6 +122,10 @@ def hierarchical_sort_sharded(keys, payloads, mesh: Mesh,
         tie-break (same balance trick as dist_sort): (key words..., pos)
         pure-u32 lexicographic — no 64-bit lanes (a packed-u64 variant
         silently truncates when x64 is off)."""
+        if n_rows * stride >= 2**32:
+            raise ValueError(
+                f"global rows {n_rows * stride} >= 2^32: the u32 "
+                "interleaved tie-break would wrap (see dist_sort)")
         pos = (jnp.arange(n_rows, dtype=jnp.uint32) * jnp.uint32(stride)
                + pos_base.astype(jnp.uint32))
         return tuple(kops_s) + (pos,)
@@ -247,9 +251,14 @@ def hierarchical_sort(keys, *payloads, mesh: Mesh | None = None,
     sharding = NamedSharding(mesh, P((dcn_axis, ici_axis)))
     keys_d = jax.device_put(jnp.asarray(keys), sharding)
     pays_d = tuple(jax.device_put(jnp.asarray(p), sharding) for p in payloads)
-    fn = jax.jit(functools.partial(
-        hierarchical_sort_sharded, mesh=mesh, ici_axis=ici_axis,
-        dcn_axis=dcn_axis, key_dtype=key_dtype, **kw))
+    fn = dist_sort.cached_jit(
+        ("hierarchical", mesh, ici_axis, dcn_axis, str(key_dtype),
+         keys.shape, keys.dtype.str,
+         tuple((p.shape, p.dtype.str) for p in payloads),
+         tuple(sorted(kw.items()))),
+        lambda: functools.partial(
+            hierarchical_sort_sharded, mesh=mesh, ici_axis=ici_axis,
+            dcn_axis=dcn_axis, key_dtype=key_dtype, **kw))
     out_keys, out_pays, counts, overflow = fn(keys_d, pays_d)
     return out_keys, out_pays, counts, overflow, meta
 

@@ -328,3 +328,52 @@ def test_distributed_join_hot_on_smaller_table():
     want = _np_inner_join(pk.tolist(), pp.tolist(), bk.tolist(),
                           bp.tolist())
     assert got == want
+
+
+def test_top_k_filter_64bit_guards():
+    """int64 streams with x64 off must raise, not silently truncate to
+    their low 32 bits (round-3 review, confirmed repro: top_k returned
+    the wrong rows and filter evaluated the predicate on corrupted
+    values)."""
+    import jax
+
+    big = np.arange(2**40, 2**40 + 16, dtype=np.int64)
+    with jax.enable_x64(False):
+        with pytest.raises(ValueError, match="64-bit"):
+            dist_ops.distributed_top_k(big, k=4)
+        with pytest.raises(ValueError, match="64-bit"):
+            dist_ops.distributed_filter(lambda k: k > 7, big)
+    # with x64 on, the staged path returns the true rows
+    kk, = dist_ops.distributed_top_k(big, k=4)
+    assert np.array_equal(kk, big[::-1][:4])
+
+
+def test_top_k_f64_keys():
+    """f64 keys ride the bits-staging protocol with float ORDER (not bit
+    order) and come back as float64."""
+    rng = np.random.default_rng(13)
+    keys = rng.normal(0, 10, 8 * 64)
+    pay = np.arange(8 * 64, dtype=np.int32)
+    kk, pp = dist_ops.distributed_top_k(keys, pay, k=5)
+    order = np.argsort(-keys, kind="stable")[:5]
+    assert kk.dtype == np.float64
+    assert np.array_equal(kk, keys[order])
+    assert np.array_equal(pp, pay[order])
+
+
+def test_empty_tables():
+    """0-row inputs degrade gracefully instead of crashing in the
+    splitter sampler (round-3 review, confirmed repro)."""
+    ek = np.zeros(0, np.uint32)
+    ep = np.zeros(0, np.int32)
+    out_k, out_p, counts, ov, meta = dist_sort.distributed_sort(ek, ep)
+    gk, gp = dist_sort.gather_result(out_k, out_p, counts, meta)
+    assert gk.shape == (0,) and not np.asarray(ov).any()
+    # empty build side: join result is empty
+    pk = np.arange(8 * 16, dtype=np.uint32)
+    counts, k_out, opp, obp, ov, meta = dist_ops.distributed_join(
+        pk, (pk,), ek, (ep,), out_rows_per_device=64)
+    assert not np.asarray(ov).any()
+    assert int(np.asarray(counts).sum()) == 0
+    ng, gk2, cnts = dist_ops.distributed_unique(ek)
+    assert ng == 0
