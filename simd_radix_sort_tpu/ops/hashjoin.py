@@ -146,11 +146,20 @@ def merge_join_indices(probe_ops, n_probe_valid, build_ops, n_build_valid,
     n_p = probe_ops[0].shape[0]
     n_b = build_ops[0].shape[0]
     m = n_b + n_p
+    if m == 0:  # both buffers empty: no pairs (the run machinery below
+        #         cannot trace on 0 rows)
+        zero_idx = jnp.zeros(capacity, jnp.int32)
+        return jnp.int32(0), zero_idx, zero_idx
     iota_p = jnp.arange(n_p, dtype=jnp.int32)
     iota_b = jnp.arange(n_b, dtype=jnp.int32)
 
     def _invalid(iota, v):
         if getattr(v, "ndim", 0) == 1:  # boolean validity mask
+            if v.dtype != jnp.bool_:
+                # ~ on an int 0/1 mask is -1/-2 — every row would be
+                # silently flagged invalid and the join would return 0
+                raise TypeError(
+                    f"validity mask must be boolean, got {v.dtype}")
             return ~v
         return iota >= v
 

@@ -176,27 +176,21 @@ def sort_arrays(keys: jax.Array, payloads=(), ascending: bool = True,
     pl_ops = tuple(jnp.asarray(p) for p in payloads)
     nk = len(kops)
 
-    if n <= max(thr, 2):
-        out = jax.lax.sort(tuple(kops) + pl_ops, num_keys=nk,
-                           is_stable=stable)
-        return _finish(out[:nk], out[nk:], keys, key_dtype, ascending)
-
-    # ---- 1. partition pass ----------------------------------------------
     # C adapted so segments land near thr rows (cmpSortThreshold role)
     c = 2
     while c < MAX_BUCKETS and c * thr < n:
         c *= 2
 
-    # Effective size range: beyond c * BLOCK/2 rows (~8.4M at the 1024-
-    # bucket cap) even a perfectly balanced partition leaves every average
-    # segment above the blocked-cleanup engagement bound, so the fallback
-    # would ALWAYS run and the partition pass would be pure waste — skip
-    # straight to one full sort.  Raising the cap instead is refuted with
-    # measurements (scripts/partition_attack.py @1e8: binning >= 865.8 ms
-    # + 1-key mover 724.3 ms + cleanup 269.6 ms vs one full sort 753.1 ms
-    # — the mover is itself a lax.sort and does not get cheaper with a
-    # small bucket domain).
-    if n > c * (BLOCK // 2):
+    # One plain sort below the threshold AND beyond the effective size
+    # range: past c * BLOCK/2 rows (~8.4M at the 1024-bucket cap) even a
+    # perfectly balanced partition leaves every average segment above the
+    # blocked-cleanup engagement bound, so the fallback would ALWAYS run
+    # and the partition pass would be pure waste.  Raising the cap
+    # instead is refuted with measurements (scripts/partition_attack.py
+    # @1e8: binning >= 865.8 ms + 1-key mover 724.3 ms + cleanup 269.6 ms
+    # vs one full sort 753.1 ms — the mover is itself a lax.sort and does
+    # not get cheaper with a small bucket domain).
+    if n <= max(thr, 2) or n > c * (BLOCK // 2):
         out = jax.lax.sort(tuple(kops) + pl_ops, num_keys=nk,
                            is_stable=stable)
         return _finish(out[:nk], out[nk:], keys, key_dtype, ascending)

@@ -377,3 +377,7 @@ def test_empty_tables():
     assert int(np.asarray(counts).sum()) == 0
     ng, gk2, cnts = dist_ops.distributed_unique(ek)
     assert ng == 0
+    # both tables empty
+    counts, k_out, opp, obp, ov, meta = dist_ops.distributed_join(
+        ek, (ep,), ek, (ep,), out_rows_per_device=16)
+    assert int(np.asarray(counts).sum()) == 0 and not np.asarray(ov).any()

@@ -87,3 +87,22 @@ def test_merge_join_indices_truncation():
         _ops(pk, np.uint32), 64, _ops(bk, np.uint32), 64, 100)
     assert int(total) == 64 * 64  # reported total exceeds capacity
     assert np.asarray(pidx).shape == (100,)
+
+
+def test_merge_join_indices_both_empty():
+    """m == 0 must trace and return zero matches (reachable end to end
+    via a join of two empty tables — round-3 review)."""
+    e = _ops(np.zeros(0, np.uint32), np.uint32)
+    total, pidx, bidx = hashjoin.merge_join_indices(e, 0, e, 0, 8)
+    assert int(total) == 0
+    assert np.asarray(pidx).shape == (8,)
+
+
+def test_merge_join_indices_int_mask_rejected():
+    """An integer 0/1 validity mask must raise, not silently flag every
+    row invalid (~1 == -2; round-3 review)."""
+    ops = _ops(np.zeros(4, np.uint32), np.uint32)
+    mask = np.ones(4, np.int32)
+    with pytest.raises(TypeError, match="boolean"):
+        hashjoin.merge_join_indices(ops, jnp.asarray(mask), ops,
+                                    jnp.asarray(mask), 8)
