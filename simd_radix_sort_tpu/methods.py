@@ -34,6 +34,7 @@ from typing import Callable, Sequence
 
 import numpy as np
 
+from .utils import common
 from .utils import transforms
 
 
@@ -67,13 +68,13 @@ def _host_method(sort_fn, takes_threshold: bool = False):
         keys = np.asarray(keys)
         if key_dtype is not None:
             keys = keys.view(np.dtype(key_dtype))
-        kw = {"threshold": block_threshold} if (takes_threshold
-                                               and block_threshold) else {}
+        kw = ({"threshold": block_threshold}
+              if takes_threshold and block_threshold is not None else {})
         out = sort_fn(keys, *[np.asarray(p) for p in payloads],
                       ascending=ascending, **kw)
         keys_out = out[0]
         if key_dtype is not None:  # hand bits back, like the device methods
-            keys_out = keys_out.view(np.uint64)
+            keys_out = keys_out.view(common.unsigned_of(key_dtype))
         return keys_out, tuple(out[1:])
     return run
 

@@ -171,7 +171,7 @@ def sort_arrays(keys: jax.Array, payloads=(), ascending: bool = True,
     n = keys.shape[0]
     # 4096-row target segments: large enough to keep the bucket-compare
     # cost low, half the BLOCK/2 engagement bound for sampling headroom
-    thr = block_threshold or 4096
+    thr = 4096 if block_threshold is None else block_threshold
     kops = transforms.key_operands(keys, ascending, key_dtype)
     pl_ops = tuple(jnp.asarray(p) for p in payloads)
     nk = len(kops)

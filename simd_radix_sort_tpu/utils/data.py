@@ -136,8 +136,9 @@ def make_payload_fast(keys: np.ndarray, stream_index: int,
     else:
         bits = (h & np.uint64((1 << (8 * w)) - 1)).astype(
             common.unsigned_of(dtype))
-    return bits.view(dtype) if dtype.kind == "f" else bits.astype(
-        dtype, casting="unsafe") if dtype.kind == "u" else bits.view(dtype)
+    # bits is already the same-width unsigned carrier, so one view
+    # covers float, signed, and unsigned targets alike
+    return bits.view(dtype)
 
 
 def make_payload_cpp(keys: np.ndarray, payload_dtypes):

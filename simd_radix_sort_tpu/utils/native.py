@@ -26,16 +26,27 @@ _lib = None
 
 
 def _build():
-    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                   capture_output=True)
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        # surface the compiler output — a swallowed build failure used to
+        # masquerade as "method 'cpp' does not support ..." downstream
+        raise RuntimeError(
+            "native harness build failed:\n"
+            + (e.stderr or e.stdout or "")[-2000:]) from e
+
+
+def _sources_mtime() -> float:
+    return max(os.path.getmtime(os.path.join(_NATIVE_DIR, f))
+               for f in ("harness.cpp", "Makefile"))
 
 
 def lib() -> ctypes.CDLL:
     global _lib
     if _lib is None:
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH)
-                < os.path.getmtime(os.path.join(_NATIVE_DIR, "harness.cpp"))):
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < _sources_mtime()):
             _build()
         L = ctypes.CDLL(_LIB_PATH)
         L.srs_make_keys.restype = ctypes.c_int
@@ -71,11 +82,20 @@ def lib() -> ctypes.CDLL:
     return _lib
 
 
+_warned_unavailable = False
+
+
 def available() -> bool:
+    global _warned_unavailable
     try:
         lib()
         return True
-    except Exception:
+    except Exception as e:
+        if not _warned_unavailable:
+            _warned_unavailable = True
+            import sys
+            print(f"[srs] native harness unavailable: {e}",
+                  file=sys.stderr)
         return False
 
 
@@ -122,10 +142,15 @@ def make_payloads(keys: np.ndarray, payload_dtypes):
 def check_payloads(keys: np.ndarray, payloads) -> int:
     """Returns -1 if every payload regenerates from its key, else the first
     bad row index (checkPayloads, data.hpp:249-270)."""
-    from ..ops.sort import pack_rows
     keys = np.ascontiguousarray(keys)
-    packed = np.ascontiguousarray(pack_rows(keys, payloads)[:,
-                                  keys.dtype.itemsize:])
+    payloads = [np.asarray(p) for p in payloads]
+    if not payloads:
+        return -1
+    # pack only the payload columns, with the threaded native packer —
+    # routing through ops.sort.pack_rows built a key+payload matrix
+    # single-threaded and copied it again to drop the key bytes (GBs of
+    # avoidable copies at this module's 100M-row scale)
+    packed = pack_rows(payloads[0], payloads[1:])
     total = packed.shape[1]
     return int(lib().srs_check_payload_bytes(
         keys.dtype.itemsize, _ptr(keys), len(keys), total, _ptr(packed)))
@@ -133,6 +158,15 @@ def check_payloads(keys: np.ndarray, payloads) -> int:
 
 def is_sorted(keys: np.ndarray, ascending: bool = True) -> bool:
     keys = np.ascontiguousarray(keys)
+    if keys.dtype.kind == "f":
+        # the engines order floats by IEEE totalOrder bits (-0.0 < +0.0,
+        # NaNs by bit pattern); the native numeric compare would wave
+        # through ANY NaN placement (every NaN comparison is false) —
+        # validate the order-preserving unsigned carrier instead
+        from . import transforms
+        keys = np.ascontiguousarray(
+            transforms.to_sortable_np(keys, ascending))
+        ascending = True
     return bool(lib().srs_is_sorted(_TYPE_IDS[np.dtype(keys.dtype)],
                                     _ptr(keys), len(keys), int(ascending)))
 

@@ -132,3 +132,18 @@ def test_gaussian_narrow_int_wraps_not_clips():
             keys = gen(50_000, dt, D.Distribution.GAUSSIAN, seed=9)
         frac_at_bounds = np.mean((keys == 127) | (keys == -128))
         assert frac_at_bounds < 0.02, (dt, gen, frac_at_bounds)
+
+
+def test_native_is_sorted_float_total_order():
+    """Floats validate in IEEE totalOrder carrier bits: NaN placement and
+    -0.0/+0.0 order are checked, not waved through by numeric compares
+    (round-3 review)."""
+    if not native.available():
+        pytest.skip("native harness unavailable")
+    ok = np.array([-np.inf, -1.0, -0.0, 0.0, 2.0, np.inf, np.nan],
+                  np.float64)
+    assert native.is_sorted(ok)                      # totalOrder ascending
+    assert not native.is_sorted(np.array([5.0, np.nan, 1.0], np.float64))
+    assert not native.is_sorted(np.array([0.0, -0.0], np.float64))
+    assert native.is_sorted(ok[::-1].copy(), ascending=False)
+    assert native.check_payloads(ok, ()) == -1
