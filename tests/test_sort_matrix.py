@@ -101,11 +101,16 @@ def test_sizes(n):
 
 def test_cpp_payload_protocol():
     """The reference-exact payload protocol (glibc srand/rand) round-trips
-    through sort + oracle."""
+    through sort + oracle — across engines, not just xla (the golden A/B
+    harness runs this protocol against the actual reference binary for
+    every engine; this is the in-suite guard)."""
     run_cell(np.int32, (np.uint32, np.uint8), D.Distribution.UNIFORM, 500,
              "xla", True, protocol="cpp")
     run_cell(np.float64, (np.uint64,), D.Distribution.GAUSSIAN, 300,
              "xla", False, protocol="cpp")
+    for method in ("quick", "radix", "rank", "cpp", "seq"):
+        run_cell(np.uint32, (np.uint64,), D.Distribution.ZERO_ONE, 400,
+                 method, True, protocol="cpp")
 
 
 def test_duplicate_heavy_keys():
