@@ -197,3 +197,40 @@ def test_distributed_sort_multi_elastic_retry():
     order = np.lexsort((c2, c1))
     assert np.array_equal(g1, c1[order])
     assert np.array_equal(g2, c2[order])
+
+
+def test_splitter_parts_validity_channel():
+    """Samples from shards whose valid prefix is empty must not drag the
+    pooled quantiles: devices 0-3 contribute ONLY invalid rows (value 5,
+    the 'hot tail' stand-in) and the splitters must still land inside
+    the valid data range [1000, 2000) (round-3 review)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = dist_sort.make_mesh(8)
+    n_local = 64
+    rows = []
+    nvalids = []
+    for d in range(8):
+        nv = 0 if d < 4 else n_local
+        nvalids.append(nv)
+        r = np.full(n_local, 5, np.uint32)
+        r[:nv] = np.sort(np.random.default_rng(d).integers(
+            1000, 2000, nv).astype(np.uint32))
+        rows.append(r)
+    dom = np.concatenate(rows)
+    nv_arr = np.asarray(nvalids, np.int32)
+
+    def local(d, nv):
+        spl = dist_sort.gather_splitters_parts(
+            [((d,), nv[0])], "x", 7, 32)
+        return (spl[0][None],)
+
+    shard = jax.shard_map(
+        local, mesh=mesh, in_specs=(P("x"), P("x")), out_specs=(P("x"),))
+    out = jax.jit(shard)(
+        jax.device_put(jnp.asarray(dom), NamedSharding(mesh, P("x"))),
+        jax.device_put(jnp.asarray(nv_arr), NamedSharding(mesh, P("x"))))
+    spl = np.asarray(out[0])[0]
+    assert ((spl >= 1000) & (spl < 2000)).all(), spl
