@@ -21,6 +21,11 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                  os.path.expanduser("~/.cache/jax_comp_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# The axon TPU plugin forces jax_platforms at registration, so the
+# JAX_PLATFORMS env var is silently ignored; honor an explicit override
+# (SRS_PLATFORM=cpu runs any measurement script on the host backend).
+if os.environ.get("SRS_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SRS_PLATFORM"])
 
 import numpy as np  # noqa: E402
 
