@@ -75,44 +75,59 @@ def group_aggregate(keys: jax.Array, values, aggs=("sum",),
     ends = jnp.roll(starts, -1) if n else starts  # last row of each group
 
     pos = jnp.arange(n, dtype=jnp.int64 if n > 2**31 - 1 else jnp.int32)
-    results = []
+
+    # Every aggregate reads its per-row scan at the SAME group-end rows, so
+    # all of them (plus the group keys) share ONE stable compaction sort
+    # instead of one sort per stream — the compaction is the dominant cost
+    # at large n (each _compact_at was a full n-row lax.sort).
+    pending = [keys]  # stream 0: the group keys
+
+    def register(arr):
+        pending.append(arr)
+        return len(pending) - 1
+
+    need_cnt = any(a in ("count", "mean") for a in aggs)
+    cnt_slot = register((pos + 1).astype(jnp.int32)) if need_cnt else None
+
+    plans = []  # (agg, [(slot, scan_dtype)...]) per requested aggregate
     for agg, streams in zip(aggs, agg_streams):
         sel = tuple(vals[i] for i in streams)
         if agg == "count":
-            csum = pos + 1
-            (cnt_g,) = _compact_at(ends, (csum.astype(jnp.int32),))
-            results.append(_diff_groups(cnt_g))
+            plans.append((agg, [(cnt_slot, None)]))
         elif agg in ("sum", "mean"):
-            per_stream = []
+            slots = []
             for v in sel:
                 acc = jnp.cumsum(
                     v.astype(jnp.float32) if v.dtype == jnp.float16 else v)
-                (s_g,) = _compact_at(ends, (acc,))
-                per_stream.append(_diff_groups(s_g).astype(acc.dtype))
+                slots.append((register(acc), acc.dtype))
+            plans.append((agg, slots))
+        else:  # min / max
+            op = jnp.minimum if agg == "min" else jnp.maximum
+            plans.append((agg, [(register(_segmented_scan(v, starts, op)),
+                                 None) for v in sel]))
+
+    packed = filter_ops.compact(ends, *pending)
+    num_groups, group_keys = packed[0], packed[1]
+    at_ends = packed[1:]
+
+    results = []
+    for agg, slots in plans:
+        if agg == "count":
+            results.append(_diff_groups(at_ends[cnt_slot]))
+        elif agg in ("sum", "mean"):
+            per_stream = [_diff_groups(at_ends[s]).astype(dt)
+                          for s, dt in slots]
             if agg == "mean":
-                (cnt_g,) = _compact_at(ends, ((pos + 1).astype(jnp.int32),))
-                cnt = _diff_groups(cnt_g)
+                cnt = _diff_groups(at_ends[cnt_slot])
                 per_stream = [s / cnt.astype(s.dtype) if
                               np.dtype(s.dtype).kind == "f" else
                               (s // cnt.astype(s.dtype))
                               for s in per_stream]
             results.append(tuple(per_stream))
-        else:  # min / max
-            op = jnp.minimum if agg == "min" else jnp.maximum
-            per_stream = []
-            for v in sel:
-                seg = _segmented_scan(v, starts, op)
-                (m_g,) = _compact_at(ends, (seg,))
-                per_stream.append(m_g)
-            results.append(tuple(per_stream))
+        else:  # min / max: the segmented-scan value at the end IS the result
+            results.append(tuple(at_ends[s] for s, _ in slots))
 
-    num_groups, group_keys = filter_ops.compact(ends, keys)
     return num_groups, group_keys, tuple(results)
-
-
-def _compact_at(mask, streams):
-    out = filter_ops.compact(mask, *streams)
-    return out[1:]
 
 
 def _diff_groups(acc_at_ends: jax.Array) -> jax.Array:
