@@ -30,6 +30,20 @@ if os.environ.get("SRS_PLATFORM"):
 import numpy as np  # noqa: E402
 
 
+M1 = np.uint64(0x9E3779B97F4A7C15)
+M2 = np.uint64(0xBF58476D1CE4E5B9)
+M3 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x):
+    """Counter-based uniform u64 stream (public splitmix64 constants);
+    works on jnp and np uint64 arrays alike."""
+    z = (x + M1) * M2
+    z = (z ^ (z >> np.uint64(30))) * M3
+    z = (z ^ (z >> np.uint64(27))) * M2
+    return z ^ (z >> np.uint64(31))
+
+
 def fence(out) -> None:
     """Force completion with a host fetch (tunnel-safe fence)."""
     np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])

@@ -28,20 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchlib import M2, M3, splitmix64
 from simd_radix_sort_tpu.models import roofline
 from simd_radix_sort_tpu.ops import sort as sort_ops
 
-M1 = np.uint64(0x9E3779B97F4A7C15)
-M2 = np.uint64(0xBF58476D1CE4E5B9)
-M3 = np.uint64(0x94D049BB133111EB)
 ESIZE = 24  # u64 key + u64 + u64 payloads
-
-
-def splitmix64(x):
-    z = (x + M1) * M2
-    z = (z ^ (z >> np.uint64(30))) * M3
-    z = (z ^ (z >> np.uint64(27))) * M2
-    return z ^ (z >> np.uint64(31))
 
 
 def gen_packed(n: int):

@@ -42,26 +42,15 @@ import argparse
 import json
 import time
 
-import benchlib  # noqa: F401  (jax config: x64 + compile cache)
+import benchlib  # jax config: x64 + compile cache + SRS_PLATFORM
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchlib import M3, splitmix64
 from simd_radix_sort_tpu.ops import filter as filter_ops
 from simd_radix_sort_tpu.ops import hashagg
 from simd_radix_sort_tpu.ops.xla_sort import sort_arrays
-
-M1 = np.uint64(0x9E3779B97F4A7C15)
-M2 = np.uint64(0xBF58476D1CE4E5B9)
-M3 = np.uint64(0x94D049BB133111EB)
-
-
-def splitmix64(x):
-    """Counter-based uniform u64 stream (public splitmix64 constants)."""
-    z = (x + M1) * M2
-    z = (z ^ (z >> np.uint64(30))) * M3
-    z = (z ^ (z >> np.uint64(27))) * M2
-    return z ^ (z >> np.uint64(31))
 
 
 def make_chunk_fn(n_chunk: int, groups: int, mode: str):
@@ -71,7 +60,9 @@ def make_chunk_fn(n_chunk: int, groups: int, mode: str):
     counts[cap]) with rows past the chunk's group count carrying the
     sentinel key `groups` (dropped at merge time).
     """
-    cap = groups + 1  # + sentinel group
+    # a chunk can produce at most min(n_chunk, groups + 1) distinct keys
+    # (+1 for the sentinel group of filtered-out rows)
+    cap = min(groups + 1, n_chunk)
 
     def chunk(base):
         i = base + jnp.arange(n_chunk, dtype=jnp.uint64)
@@ -83,11 +74,11 @@ def make_chunk_fn(n_chunk: int, groups: int, mode: str):
             kk = jnp.where(keep, k, np.uint32(groups))
             ks, (vs,) = sort_arrays(kk, (v,), ascending=True)
         else:  # staged: explicit mask+compaction, then sort the prefix
+            # compact fills the tail of BOTH streams with `groups`; the
+            # tail's values therefore land in the sentinel group, whose
+            # aggregate is discarded wholesale at merge time
             cnt, fk, fv = filter_ops.compact(keep, k, v,
                                              fill=np.uint32(groups))
-            # compact fills BOTH tails with `groups`; restore the value
-            # tail to 0 so dropped rows cannot pollute the sentinel group
-            # (it is discarded anyway, but keep the streams honest)
             ks, (vs,) = sort_arrays(fk, (fv,), ascending=True)
         ng, gk, ((sums,), cnt_g) = hashagg.group_aggregate(
             ks, vs, aggs=("sum", "count"), presorted=True)
@@ -98,7 +89,7 @@ def make_chunk_fn(n_chunk: int, groups: int, mode: str):
     return jax.jit(chunk)
 
 
-def make_merge_fn(groups: int):
+def make_merge_fn():
     """Merge per-chunk partials: one more sorted-prefix aggregate."""
     def merge(gks, sums, cnts):
         gk = jnp.concatenate(gks)
@@ -109,17 +100,22 @@ def make_merge_fn(groups: int):
     return jax.jit(merge)
 
 
-def run_pipeline(n: int, chunks: int, groups: int, mode: str):
+def build(n: int, chunks: int, groups: int, mode: str):
+    """Trace/compile the chunk + merge programs once (untimed warmup)."""
     n_chunk = n // chunks
     assert n_chunk * chunks == n, "n must divide by chunks"
     chunk_fn = make_chunk_fn(n_chunk, groups, mode)
-    merge_fn = make_merge_fn(groups)
-
+    merge_fn = make_merge_fn()
     bases = [jnp.uint64(c * n_chunk) for c in range(chunks)]
-    # compile both programs outside the timed region
     warm = chunk_fn(bases[0])
     wm = merge_fn([warm[0]] * chunks, [warm[1]] * chunks, [warm[2]] * chunks)
     benchlib.fence(wm)
+    return chunk_fn, merge_fn, bases
+
+
+def run_pipeline(n: int, chunks: int, groups: int, mode: str,
+                 programs=None):
+    chunk_fn, merge_fn, bases = programs or build(n, chunks, groups, mode)
 
     t0 = time.perf_counter()
     parts = [chunk_fn(b) for b in bases]  # back-to-back async dispatch
@@ -172,9 +168,11 @@ def main():
         validate(n, args.chunks, args.groups, args.mode)
         return
 
+    programs = build(n, args.chunks, args.groups, args.mode)
     best = None
     for _ in range(args.reps):
-        dt, mk, _, mcnt = run_pipeline(n, args.chunks, args.groups, args.mode)
+        dt, mk, _, mcnt = run_pipeline(n, args.chunks, args.groups,
+                                       args.mode, programs=programs)
         best = dt if best is None else min(best, dt)
     print(json.dumps({
         "metric": "filter+sort+aggregate pipeline rows/s/chip",

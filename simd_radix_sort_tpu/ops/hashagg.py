@@ -86,8 +86,10 @@ def group_aggregate(keys: jax.Array, values, aggs=("sum",),
         pending.append(arr)
         return len(pending) - 1
 
+    # pos+1 keeps pos's dtype (int64 past 2^31 rows) so a single giant
+    # group's count cannot wrap
     need_cnt = any(a in ("count", "mean") for a in aggs)
-    cnt_slot = register((pos + 1).astype(jnp.int32)) if need_cnt else None
+    cnt_slot = register(pos + 1) if need_cnt else None
 
     plans = []  # (agg, [(slot, scan_dtype)...]) per requested aggregate
     for agg, streams in zip(aggs, agg_streams):
