@@ -54,13 +54,16 @@ def main():
     k_j, (amt_j,), (reg_j,) = dist_ops.gather_joined(jc, jk, (ja,), (jr,))
     print(f"join: {len(k_j)} matched purchase rows")
 
-    # 3. distributed aggregate: revenue per region
-    ngroups, regions, revenue = dist_ops.distributed_group_aggregate(
-        reg_j[: len(reg_j) // n_dev * n_dev],
-        amt_j[: len(amt_j) // n_dev * n_dev].astype(np.int64),
-        agg="sum", mesh=mesh)
-    for r, v in zip(regions, revenue):
-        print(f"  region {r}: revenue {int(v)}")
+    # 3. distributed aggregate: revenue + order count + mean ticket per
+    # region, all three in ONE exchange (tuple agg dedupes the partials)
+    ngroups, regions, (revenue, orders, mean_amt) = \
+        dist_ops.distributed_group_aggregate(
+            reg_j[: len(reg_j) // n_dev * n_dev],
+            amt_j[: len(amt_j) // n_dev * n_dev].astype(np.int64),
+            agg=("sum", "count", "mean"), mesh=mesh)
+    for r, v, c, mu in zip(regions, revenue, orders, mean_amt):
+        print(f"  region {r}: revenue {int(v)} over {int(c)} orders "
+              f"(mean {mu:.0f})")
 
     # 4. distributed sort of the joined table by amount (descending)
     m = len(amt_j) // n_dev * n_dev

@@ -11,8 +11,8 @@ parallel/dist_sort: per-device valid counts travel with the data.
     group_aggregate, then a KEY-RANGE ragged exchange of the partials so
     device p combines exactly the p-th key range — O(n_local) work and
     traffic per device.  Combinable aggregates only ("sum", "count",
-    "min", "max" — "mean" travels as (sum, count) partials in the same
-    exchange).
+    "min", "max", "mean" — or a tuple of them, all sharing ONE exchange
+    with deduped partial streams).
   * `distributed_join` — range-partitioned sort-merge inner join with a
     broadcast path for sampled heavy-hitter keys.
   * `distributed_top_k` — two-level selection: local top-k, k*P-row
@@ -112,15 +112,23 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
     globally.
 
     Returns (num_groups, group_keys, result) as host arrays, group keys
-    globally ascending.  agg in {"sum", "count", "min", "max", "mean"}
-    ("mean" travels as (sum, count) partials combined in one exchange).
+    globally ascending.  agg is one of {"sum", "count", "min", "max",
+    "mean"} or a TUPLE of them — a tuple computes every requested
+    aggregate in the same single exchange (shared partials are deduped:
+    "mean" travels as (sum, count), so requesting ("sum", "mean",
+    "count") ships exactly two partial streams) and returns a tuple of
+    results in request order.
 
     Float keys group by IEEE-754 totalOrder bit-distinctness, exactly
     like the single-chip sort/group_aggregate (-0.0 is its own group
     below +0.0, NaN bit patterns are distinct groups) — the same on
     every backend."""
-    if agg not in ("sum", "count", "min", "max", "mean"):
-        raise ValueError(f"unsupported distributed aggregate {agg!r}")
+    aggs_req = (agg,) if isinstance(agg, str) else tuple(agg)
+    if not aggs_req:
+        raise ValueError("distributed aggregate: empty agg tuple")
+    for a in aggs_req:
+        if a not in ("sum", "count", "min", "max", "mean"):
+            raise ValueError(f"unsupported distributed aggregate {a!r}")
     if mesh is None:
         mesh = make_mesh()
     num_p = mesh.shape[axis]
@@ -147,15 +155,27 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
     vals_d = jax.device_put(jnp.asarray(values), sharding)
     key_dtype = key_f64 or keys.dtype
 
-    partial_aggs = {"sum": ("sum",), "count": ("count",), "min": ("min",),
-                    "max": ("max",), "mean": ("sum", "count")}[agg]
-    combine_agg = "sum" if agg in ("sum", "count", "mean") else agg
+    # deduped partial streams: requested aggregates sharing a partial
+    # (sum/mean/count families) ship it once; each partial has its own
+    # cross-shard combine op
+    PARTIALS = {"sum": ("sum",), "count": ("count",), "min": ("min",),
+                "max": ("max",), "mean": ("sum", "count")}
+    COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    partial_aggs = []
+    for a in aggs_req:
+        for pa in PARTIALS[a]:
+            if pa not in partial_aggs:
+                partial_aggs.append(pa)
+    partial_aggs = tuple(partial_aggs)
 
-    def _identity(dtype):
+    def _identity(dtype, combine):
+        # the combine op's neutral element, for receive-buffer padding
+        if combine == "sum":
+            return dtype.type(0)
         if np.dtype(dtype).kind in "iu":
             info = np.iinfo(dtype)
-            return dtype.type(info.max if combine_agg == "min" else info.min)
-        return dtype.type(np.inf if combine_agg == "min" else -np.inf)
+            return dtype.type(info.max if combine == "min" else info.min)
+        return dtype.type(np.inf if combine == "min" else -np.inf)
 
     def local(cap_recv, k, v):
         # BOTH grouping phases run on the TRANSFORMED CARRIER (the
@@ -202,18 +222,29 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
         # Validity travels as its OWN stream with its own max-combine (a
         # group is real iff ANY contributor was valid).
         rvalid = jnp.arange(cap_recv, dtype=jnp.int32) < total_recv
-        if combine_agg == "sum":
-            parts_recv = [jnp.where(rvalid, p, 0) for p in parts_recv]
-        else:
-            parts_recv = [jnp.where(rvalid, p, _identity(p.dtype))
-                          for p in parts_recv]
+        parts_recv = [jnp.where(rvalid, p, _identity(p.dtype, COMBINE[pa]))
+                      for pa, p in zip(partial_aggs, parts_recv)]
         vstream = rvalid.astype(jnp.int32)
-        ng2, gk2c, (res2, res_max) = hashagg.group_aggregate(
+        # one combine group_aggregate: each partial stream under its own
+        # combine op, plus the validity stream under max
+        combine_ops = []
+        streams_per_op = {}
+        for i, pa in enumerate(partial_aggs):
+            op = COMBINE[pa]
+            if op not in streams_per_op:
+                combine_ops.append(op)
+                streams_per_op[op] = []
+            streams_per_op[op].append(i)
+        ng2, gk2c, res_all = hashagg.group_aggregate(
             gc_recv, tuple(parts_recv) + (vstream,),
-            aggs=(combine_agg, "max"),
-            agg_streams=(tuple(range(len(parts_recv))), (len(parts_recv),)))
-        totals = res2
-        vres = res_max[0]
+            aggs=tuple(combine_ops) + ("max",),
+            agg_streams=tuple(tuple(streams_per_op[op])
+                              for op in combine_ops) + ((len(parts_recv),),))
+        totals = [None] * len(partial_aggs)
+        for op, res in zip(combine_ops, res_all[:-1]):
+            for j, i in enumerate(streams_per_op[op]):
+                totals[i] = res[j]
+        vres = res_all[-1][0]
         rows = jnp.arange(cap_recv, dtype=jnp.int32)
         real = (vres == 1) & (rows < ng2)
         cnt, gk_fc, *tot_f = filter_op.compact(real, gk2c, *totals)
@@ -228,7 +259,7 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
     for attempt in range(max_retries + 1):
         cap_recv = max(int(cap * n_local), 1)
         fn = dist_sort.cached_jit(
-            ("aggregate", mesh, axis, agg, cap_recv, samples_per_device,
+            ("aggregate", mesh, axis, aggs_req, cap_recv, samples_per_device,
              use_ragged, str(key_f64), keys.shape, keys.dtype.str,
              values.dtype.str),
             lambda: jax.shard_map(
@@ -253,11 +284,17 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
     if key_f64 is not None:
         gk_out = gk_out.view(key_f64)
     ng = int(np.asarray(counts).sum())
-    tot = [np.asarray(t) for t in tot]
-    if agg == "mean":
-        s, c = tot
-        return ng, gk_out, s / c.astype(np.float64)
-    return ng, gk_out, tot[0]
+    tot = [np.asarray(t) for t in tot]  # combined partials, partial_aggs order
+    slot = {pa: i for i, pa in enumerate(partial_aggs)}
+
+    def result_for(a):
+        if a == "mean":
+            return tot[slot["sum"]] / tot[slot["count"]].astype(np.float64)
+        return tot[slot[PARTIALS[a][0]]]
+
+    if isinstance(agg, str):
+        return ng, gk_out, result_for(agg)
+    return ng, gk_out, tuple(result_for(a) for a in aggs_req)
 
 
 def _hot_keys_from_sample(domain, axis: str, samples_per_shard: int,

@@ -46,6 +46,25 @@ def test_distributed_group_aggregate_mean():
     assert np.allclose(res, want)
 
 
+def test_distributed_group_aggregate_multi_agg_one_exchange():
+    """A tuple of aggregates computes all of them in one exchange with
+    deduped partials (sum/mean/count share streams)."""
+    rng = np.random.default_rng(34)
+    keys = rng.integers(0, 40, 8 * 256, dtype=np.int32)
+    vals = rng.integers(1, 1000, 8 * 256, dtype=np.int32)
+    ng, gk, (s, c, mn, mx, mean) = dist_ops.distributed_group_aggregate(
+        keys, vals, agg=("sum", "count", "min", "max", "mean"))
+    uniq = np.unique(keys)
+    assert ng == len(uniq)
+    assert np.array_equal(gk, uniq)
+    groups = [vals[keys == u] for u in uniq]
+    assert np.array_equal(s, [g.sum() for g in groups])
+    assert np.array_equal(c, [len(g) for g in groups])
+    assert np.array_equal(mn, [g.min() for g in groups])
+    assert np.array_equal(mx, [g.max() for g in groups])
+    assert np.allclose(mean, [g.mean() for g in groups])
+
+
 def test_distributed_top_k():
     rng = np.random.default_rng(55)
     keys = rng.integers(0, 2**31, 8 * 1024, dtype=np.int32)
