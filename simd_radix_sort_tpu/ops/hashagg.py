@@ -4,7 +4,10 @@ On TPU the idiomatic grouping engine is sort-based: sort rows by key (the
 engine's own radix/xla sort), mark group boundaries, and reduce segments with
 scan algebra — no scatter, no data-dependent shapes:
 
-  * sum / count: inclusive cumsum diffed at group ends;
+  * sum / count: inclusive cumsum diffed at group ends (integers — exact);
+                 float sums use the segmented scan instead, keeping
+                 rounding error group-local (a global running total
+                 cancels catastrophically against small group sums);
   * min / max:   segmented inclusive scan (associative_scan over (flag, value)
                  pairs with a boundary-reset combiner) read at group ends;
 
@@ -99,9 +102,18 @@ def group_aggregate(keys: jax.Array, values, aggs=("sum",),
         elif agg in ("sum", "mean"):
             slots = []
             for v in sel:
-                acc = jnp.cumsum(
-                    v.astype(jnp.float32) if v.dtype == jnp.float16 else v)
-                slots.append((register(acc), acc.dtype))
+                acc = v.astype(jnp.float32) if v.dtype == jnp.float16 else v
+                if np.dtype(acc.dtype).kind == "f":
+                    # float sums use a SEGMENTED scan: a global cumsum
+                    # diffed at group ends cancels catastrophically once
+                    # the running total dwarfs a group's sum (caught by
+                    # fuzzing); the segmented form keeps rounding error
+                    # group-local.  Integer cumsum is exact, so it keeps
+                    # the cheaper global form.
+                    seg = _segmented_scan(acc, starts, jnp.add)
+                    slots.append((register(seg), None))
+                else:
+                    slots.append((register(jnp.cumsum(acc)), acc.dtype))
             plans.append((agg, slots))
         else:  # min / max
             op = jnp.minimum if agg == "min" else jnp.maximum
@@ -117,7 +129,10 @@ def group_aggregate(keys: jax.Array, values, aggs=("sum",),
         if agg == "count":
             results.append(_diff_groups(at_ends[cnt_slot]))
         elif agg in ("sum", "mean"):
-            per_stream = [_diff_groups(at_ends[s]).astype(dt)
+            # dt=None marks a segmented (float) scan whose end value IS
+            # the group sum; otherwise diff the global integer cumsum
+            per_stream = [at_ends[s] if dt is None else
+                          _diff_groups(at_ends[s]).astype(dt)
                           for s, dt in slots]
             if agg == "mean":
                 cnt = _diff_groups(at_ends[cnt_slot])
