@@ -17,4 +17,5 @@ from .dist_ops import (  # noqa: F401
     gather_filtered,
     gather_joined,
 )
-from .multihost import hierarchical_sort, make_hierarchical_mesh  # noqa: F401
+from .multihost import (hierarchical_group_aggregate, hierarchical_sort,  # noqa: F401
+                        make_hierarchical_mesh)

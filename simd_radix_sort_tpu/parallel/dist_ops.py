@@ -45,6 +45,83 @@ def _check_divisible(n, mesh, axis, what):
                          f"mesh size {num_p}")
 
 
+# ---- aggregate partial-stream algebra (shared with parallel/multihost) ----
+# each requested aggregate decomposes into partial streams; each partial
+# stream has its own cross-shard combine op
+PARTIALS = {"sum": ("sum",), "count": ("count",), "min": ("min",),
+            "max": ("max",), "mean": ("sum", "count")}
+COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def partial_streams_for(aggs_req):
+    """Deduped partial-stream list for a tuple of requested aggregates
+    (sum/mean/count families share streams)."""
+    partial_aggs = []
+    for a in aggs_req:
+        for pa in PARTIALS[a]:
+            if pa not in partial_aggs:
+                partial_aggs.append(pa)
+    return tuple(partial_aggs)
+
+
+def combine_identity(dtype, combine):
+    """The combine op's neutral element, for receive-buffer padding."""
+    if combine == "sum":
+        return dtype.type(0)
+    if np.dtype(dtype).kind in "iu":
+        info = np.iinfo(dtype)
+        return dtype.type(info.max if combine == "min" else info.min)
+    return dtype.type(np.inf if combine == "min" else -np.inf)
+
+
+def combine_received_partials(recv, nk, part_dts, partial_aggs,
+                              total_recv, cap_recv):
+    """Combine exchanged partial rows into per-group totals.
+
+    `recv` holds nk carrier word streams followed by the partial-value
+    streams (as split u32 ops, `dist_sort.split_payload_streams` layout).
+    Invalid (buffer-padding) rows must not perturb any group they collide
+    with (recv padding is all-zero words -> key 0): they get each stream's
+    combine identity, and validity travels as its OWN stream with a
+    max-combine (a group is real iff ANY contributor was valid).
+
+    Returns (num_real_groups, carrier_groups, totals_list): real groups
+    compacted to the front in ascending carrier order; rows past
+    num_real_groups are junk the caller must mask.
+    """
+    gc_recv = transforms.merge64(*recv[:nk]) if nk == 2 else recv[0]
+    parts_recv = dist_sort.merge_payload_streams(recv[nk:], part_dts)
+    rvalid = jnp.arange(cap_recv, dtype=jnp.int32) < total_recv
+    parts_recv = [
+        jnp.where(rvalid, p, combine_identity(p.dtype, COMBINE[pa]))
+        for pa, p in zip(partial_aggs, parts_recv)]
+    vstream = rvalid.astype(jnp.int32)
+    # one combine group_aggregate: each partial stream under its own
+    # combine op, plus the validity stream under max
+    combine_ops = []
+    streams_per_op = {}
+    for i, pa in enumerate(partial_aggs):
+        op = COMBINE[pa]
+        if op not in streams_per_op:
+            combine_ops.append(op)
+            streams_per_op[op] = []
+        streams_per_op[op].append(i)
+    ng2, gk2c, res_all = hashagg.group_aggregate(
+        gc_recv, tuple(parts_recv) + (vstream,),
+        aggs=tuple(combine_ops) + ("max",),
+        agg_streams=tuple(tuple(streams_per_op[op])
+                          for op in combine_ops) + ((len(parts_recv),),))
+    totals = [None] * len(partial_aggs)
+    for op, res in zip(combine_ops, res_all[:-1]):
+        for j, i in enumerate(streams_per_op[op]):
+            totals[i] = res[j]
+    vres = res_all[-1][0]
+    rows = jnp.arange(cap_recv, dtype=jnp.int32)
+    real = (vres == 1) & (rows < ng2)
+    cnt, gk_fc, *tot_f = filter_op.compact(real, gk2c, *totals)
+    return cnt, gk_fc, list(tot_f)
+
+
 def distributed_filter(predicate, keys, *payloads, mesh: Mesh | None = None,
                        axis: str = DEFAULT_AXIS):
     """Filter a row-sharded table.  Returns (counts, keys, payloads...):
@@ -155,27 +232,7 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
     vals_d = jax.device_put(jnp.asarray(values), sharding)
     key_dtype = key_f64 or keys.dtype
 
-    # deduped partial streams: requested aggregates sharing a partial
-    # (sum/mean/count families) ship it once; each partial has its own
-    # cross-shard combine op
-    PARTIALS = {"sum": ("sum",), "count": ("count",), "min": ("min",),
-                "max": ("max",), "mean": ("sum", "count")}
-    COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
-    partial_aggs = []
-    for a in aggs_req:
-        for pa in PARTIALS[a]:
-            if pa not in partial_aggs:
-                partial_aggs.append(pa)
-    partial_aggs = tuple(partial_aggs)
-
-    def _identity(dtype, combine):
-        # the combine op's neutral element, for receive-buffer padding
-        if combine == "sum":
-            return dtype.type(0)
-        if np.dtype(dtype).kind in "iu":
-            info = np.iinfo(dtype)
-            return dtype.type(info.max if combine == "min" else info.min)
-        return dtype.type(np.inf if combine == "min" else -np.inf)
+    partial_aggs = partial_streams_for(aggs_req)
 
     def local(cap_recv, k, v):
         # BOTH grouping phases run on the TRANSFORMED CARRIER (the
@@ -212,42 +269,8 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
         recv, total_recv, overflow = dist_sort.exchange_by_bounds(
             kops + tuple(part_ops), dist_sort.lex_bounds(kops, splitters),
             axis, cap_recv, use_ragged, n_valid=ng)
-        gc_recv = (transforms.merge64(*recv[:nk]) if nk == 2
-                   else recv[0])
-        parts_recv = dist_sort.merge_payload_streams(recv[nk:], part_dts)
-
-        # invalid (buffer-padding) rows must not perturb any group they
-        # collide with (recv padding is all-zero words -> key 0): zero
-        # contribution under sum, the combine's identity under min/max.
-        # Validity travels as its OWN stream with its own max-combine (a
-        # group is real iff ANY contributor was valid).
-        rvalid = jnp.arange(cap_recv, dtype=jnp.int32) < total_recv
-        parts_recv = [jnp.where(rvalid, p, _identity(p.dtype, COMBINE[pa]))
-                      for pa, p in zip(partial_aggs, parts_recv)]
-        vstream = rvalid.astype(jnp.int32)
-        # one combine group_aggregate: each partial stream under its own
-        # combine op, plus the validity stream under max
-        combine_ops = []
-        streams_per_op = {}
-        for i, pa in enumerate(partial_aggs):
-            op = COMBINE[pa]
-            if op not in streams_per_op:
-                combine_ops.append(op)
-                streams_per_op[op] = []
-            streams_per_op[op].append(i)
-        ng2, gk2c, res_all = hashagg.group_aggregate(
-            gc_recv, tuple(parts_recv) + (vstream,),
-            aggs=tuple(combine_ops) + ("max",),
-            agg_streams=tuple(tuple(streams_per_op[op])
-                              for op in combine_ops) + ((len(parts_recv),),))
-        totals = [None] * len(partial_aggs)
-        for op, res in zip(combine_ops, res_all[:-1]):
-            for j, i in enumerate(streams_per_op[op]):
-                totals[i] = res[j]
-        vres = res_all[-1][0]
-        rows = jnp.arange(cap_recv, dtype=jnp.int32)
-        real = (vres == 1) & (rows < ng2)
-        cnt, gk_fc, *tot_f = filter_op.compact(real, gk2c, *totals)
+        cnt, gk_fc, tot_f = combine_received_partials(
+            recv, nk, part_dts, partial_aggs, total_recv, cap_recv)
         # carrier back to logical keys (f64 exits as bits, viewed on host)
         wf = transforms.split64(gk_fc) if nk == 2 else (gk_fc,)
         gk_f = transforms.keys_from_operands(

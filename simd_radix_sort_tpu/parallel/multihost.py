@@ -1,4 +1,5 @@
-"""Multi-host / multi-slice (DCN) scale-out: hierarchical two-phase sort.
+"""Multi-host / multi-slice (DCN) scale-out: hierarchical two-phase sort
+and the matching two-tier group aggregate.
 
 The reference is single-process by construction (SURVEY.md section 2.11);
 this module is the DCN tier of the north star's scale-out plan (SURVEY.md
@@ -35,7 +36,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import hashagg
+from ..utils import common
 from ..utils import transforms
+from . import dist_ops
 from . import dist_sort
 
 
@@ -261,6 +265,197 @@ def hierarchical_sort(keys, *payloads, mesh: Mesh | None = None,
             dcn_axis=dcn_axis, key_dtype=key_dtype, **kw))
     out_keys, out_pays, counts, overflow = fn(keys_d, pays_d)
     return out_keys, out_pays, counts, overflow, meta
+
+
+def hierarchical_group_aggregate_sharded(keys, values, mesh: Mesh,
+                                         aggs_req, ici_axis: str = "x",
+                                         dcn_axis: str = "slice",
+                                         cap1: int = 0, cap2: int = 0,
+                                         samples_per_device: int = 128,
+                                         key_dtype=None,
+                                         use_ragged: bool | None = None):
+    """Jittable two-tier group aggregate over a (dcn, ici) mesh.
+
+    The DCN-aware schedule of `hierarchical_sort_sharded` applied to
+    aggregate PARTIALS (dist_ops partial-stream algebra):
+
+      1. local sorted-prefix group_aggregate — after this each device
+         contributes at most ONE partial row per key, so a hot key's
+         total volume anywhere is bounded by the device count (aggregates
+         need no skew tie-break);
+      2. coarse key-range splitters from a global sample route each
+         partial to its owner SLICE over the `slice` axis only (every
+         partial crosses DCN at most once, in one S-way collective);
+      3. arriving partials combine per chip (also re-sorting the valid
+         prefix for the next exchange's contiguous-range bounds);
+      4. fine splitters within the slice route combined partials to
+         their owner CHIP over ICI; a final combine finishes.
+
+    Returns (count, group_keys, partial_totals..., overflow) per device;
+    concatenating valid prefixes in mesh order (slice-major, then chip)
+    is the globally ascending group table.
+    """
+    num_s = mesh.shape[dcn_axis]
+    num_c = mesh.shape[ici_axis]
+    partial_aggs = dist_ops.partial_streams_for(aggs_req)
+    use_ragged = dist_sort.default_use_ragged(use_ragged)
+    kdt = np.dtype(key_dtype) if key_dtype is not None \
+        else np.dtype(keys.dtype)
+
+    def local(k, v):
+        kw = transforms.key_operands(k, True, logical_dtype=key_dtype)
+        nk = len(kw)
+        carrier = transforms.merge64(*kw) if nk == 2 else kw[0]
+        cmax = carrier.dtype.type(~np.uint64(0) if nk == 2
+                                  else ~np.uint32(0))
+
+        def force_tail(gkc, n_rows, cnt):
+            # junk rows past the valid prefix must sort past every
+            # splitter (see dist_ops.distributed_group_aggregate)
+            valid = jnp.arange(n_rows, dtype=jnp.int32) < cnt
+            gkc = jnp.where(valid, gkc, cmax)
+            return transforms.split64(gkc) if nk == 2 else (gkc,)
+
+        # ---- tier 0: local partials (one row per key per device) ------
+        ng, gkc, results = hashagg.group_aggregate(carrier, v,
+                                                   aggs=partial_aggs)
+        parts = [res if pa == "count" else res[0]
+                 for pa, res in zip(partial_aggs, results)]
+        part_dts = [np.dtype(p.dtype) for p in parts]
+        kops = force_tail(gkc, k.shape[0], ng)
+
+        # ---- tier 1: DCN — route partials to their owner slice --------
+        if num_s > 1:
+            spl_s = dist_sort.gather_splitters(
+                kops, (dcn_axis, ici_axis), num_s - 1, samples_per_device,
+                n_valid=ng)
+            part_ops = dist_sort.split_payload_streams(parts, part_dts)
+            recv1, tot1, ov1 = dist_sort.exchange_by_bounds(
+                kops + tuple(part_ops), dist_sort.lex_bounds(kops, spl_s),
+                dcn_axis, cap1, use_ragged, n_valid=ng)
+            c1 = cap1
+        else:
+            recv1 = kops + tuple(
+                dist_sort.split_payload_streams(parts, part_dts))
+            tot1, ov1, c1 = ng, jnp.int32(0), k.shape[0]
+        cnt1, gk1, parts1 = dist_ops.combine_received_partials(
+            recv1, nk, part_dts, partial_aggs, tot1, c1)
+
+        # ---- tier 2: ICI — route combined partials to their owner chip
+        kops1 = force_tail(gk1, c1, cnt1)
+        if num_c > 1:
+            spl_c = dist_sort.gather_splitters(
+                kops1, ici_axis, num_c - 1, samples_per_device,
+                n_valid=cnt1)
+            part_ops1 = dist_sort.split_payload_streams(parts1, part_dts)
+            recv2, tot2, ov2 = dist_sort.exchange_by_bounds(
+                kops1 + tuple(part_ops1),
+                dist_sort.lex_bounds(kops1, spl_c),
+                ici_axis, cap2, use_ragged, n_valid=cnt1)
+            cnt, gk_fc, tot_f = dist_ops.combine_received_partials(
+                recv2, nk, part_dts, partial_aggs, tot2, cap2)
+        else:
+            cnt, gk_fc, tot_f = cnt1, gk1, parts1
+            ov2 = jnp.int32(0)
+
+        wf = transforms.split64(gk_fc) if nk == 2 else (gk_fc,)
+        gk_f = transforms.keys_from_operands(
+            tuple(wf), kdt, True, as_bits=key_dtype is not None)
+        overflow = jax.lax.pmax(jax.lax.pmax(ov1 + ov2, ici_axis), dcn_axis)
+        return (cnt[None], gk_f) + tuple(tot_f) + (overflow[None],)
+
+    spec = P((dcn_axis, ici_axis))
+    shard = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                          out_specs=(spec,) * (3 + len(partial_aggs)))
+    return shard(keys, values)
+
+
+def hierarchical_group_aggregate(keys, values, agg="sum",
+                                 mesh: Mesh | None = None,
+                                 ici_axis: str = "x",
+                                 dcn_axis: str = "slice",
+                                 num_slices: int | None = None,
+                                 capacity_factor: float = 2.0,
+                                 samples_per_device: int = 128,
+                                 max_retries: int = 2,
+                                 use_ragged: bool | None = None):
+    """Host entry for the two-tier (DCN x ICI) group aggregate.
+
+    Same contract as dist_ops.distributed_group_aggregate (agg is a name
+    or a tuple of names sharing one set of exchanges; returns
+    (num_groups, group_keys, result_or_tuple) as host arrays, group keys
+    globally ascending) — but the partial exchange is hierarchical:
+    every partial crosses DCN at most once in an S-way collective, and
+    the fine-grained partitioning traffic stays on ICI.
+    """
+    aggs_req = (agg,) if isinstance(agg, str) else tuple(agg)
+    if not aggs_req:
+        raise ValueError("hierarchical aggregate: empty agg tuple")
+    for a in aggs_req:
+        if a not in dist_ops.PARTIALS:
+            raise ValueError(f"unsupported aggregate {a!r}")
+    if mesh is None:
+        mesh = make_hierarchical_mesh(ici_axis, dcn_axis, num_slices)
+    num_p = mesh.shape[dcn_axis] * mesh.shape[ici_axis]
+    keys, key_f64 = dist_sort.stage_host_bits(np.asarray(keys))
+    if keys.shape[0] % num_p:
+        raise ValueError(f"global length {keys.shape[0]} not divisible "
+                         f"by mesh size {num_p}")
+    n_local = keys.shape[0] // num_p
+    values = np.asarray(values)
+    if values.shape[0] != keys.shape[0]:
+        raise ValueError(f"values length {values.shape[0]} != keys "
+                         f"length {keys.shape[0]}")
+    common.check_64bit_ok(values.dtype)
+    if jax.default_backend() not in ("cpu",) and values.dtype == np.float64:
+        raise NotImplementedError(
+            "float64 aggregate values on a lossy-f64 backend would be "
+            "silently inexact; cast values to float32/int64 or run on CPU")
+    sharding = NamedSharding(mesh, P((dcn_axis, ici_axis)))
+    keys_d = jax.device_put(jnp.asarray(keys), sharding)
+    vals_d = jax.device_put(jnp.asarray(values), sharding)
+    key_dtype = key_f64 or keys.dtype
+    partial_aggs = dist_ops.partial_streams_for(aggs_req)
+
+    cap = capacity_factor
+    for attempt in range(max_retries + 1):
+        cap_recv = max(int(cap * n_local), 1)
+        fn = dist_sort.cached_jit(
+            ("hier_aggregate", mesh, ici_axis, dcn_axis, aggs_req, cap_recv,
+             samples_per_device, use_ragged, str(key_f64), keys.shape,
+             keys.dtype.str, values.dtype.str),
+            lambda: functools.partial(
+                hierarchical_group_aggregate_sharded, mesh=mesh,
+                aggs_req=aggs_req, ici_axis=ici_axis, dcn_axis=dcn_axis,
+                cap1=cap_recv, cap2=cap_recv,
+                samples_per_device=samples_per_device, key_dtype=key_f64,
+                use_ragged=use_ragged))
+        out = fn(keys_d, vals_d)
+        if not bool(np.asarray(out[-1]).any()):
+            break
+        if attempt == max_retries or cap >= num_p:
+            break
+        cap = min(cap * 2.0, float(num_p))
+    if bool(np.asarray(out[-1]).any()):
+        raise ValueError(
+            "hierarchical_group_aggregate: partials exceed receive "
+            f"capacity even at factor {cap}")
+    counts, gks, totals = out[0], out[1], out[2:-1]
+    gk_out, tot = dist_sort.gather_result(gks, tuple(totals), counts)
+    if key_f64 is not None:
+        gk_out = gk_out.view(key_f64)
+    ng = int(np.asarray(counts).sum())
+    tot = [np.asarray(t) for t in tot]
+    slot = {pa: i for i, pa in enumerate(partial_aggs)}
+
+    def result_for(a):
+        if a == "mean":
+            return tot[slot["sum"]] / tot[slot["count"]].astype(np.float64)
+        return tot[slot[dist_ops.PARTIALS[a][0]]]
+
+    if isinstance(agg, str):
+        return ng, gk_out, result_for(agg)
+    return ng, gk_out, tuple(result_for(a) for a in aggs_req)
 
 
 def distributed_sort_multihost(keys, *payloads, ici_axis: str = "x",

@@ -96,3 +96,49 @@ def test_hierarchical_equals_flat_sort():
 def test_make_hierarchical_mesh_validation():
     with pytest.raises(ValueError, match="not divisible"):
         multihost.make_hierarchical_mesh(num_slices=3)
+
+
+@pytest.mark.parametrize("num_slices", [2, 4])
+def test_hierarchical_group_aggregate(num_slices):
+    rng = np.random.default_rng(64)
+    n = 8 * 512
+    keys = rng.integers(-30, 30, n).astype(np.int32)
+    vals = rng.integers(1, 1000, n).astype(np.int64)
+    ng, gk, (s, c, mean) = multihost.hierarchical_group_aggregate(
+        keys, vals, agg=("sum", "count", "mean"), mesh=_mesh(num_slices))
+    uniq = np.unique(keys)
+    assert ng == len(uniq)
+    assert np.array_equal(gk, uniq)
+    groups = [vals[keys == u] for u in uniq]
+    assert np.array_equal(s, [g.sum() for g in groups])
+    assert np.array_equal(c, [len(g) for g in groups])
+    assert np.allclose(mean, [g.mean() for g in groups])
+
+
+def test_hierarchical_group_aggregate_f64_keys_single_agg():
+    rng = np.random.default_rng(65)
+    n = 8 * 256
+    keys = rng.choice(np.array([-2.5, -0.0, 0.0, 1.25, 3e200], np.float64), n)
+    vals = rng.integers(1, 100, n).astype(np.int64)
+    ng, gk, mx = multihost.hierarchical_group_aggregate(
+        keys, vals, agg="max", mesh=_mesh(2))
+    # totalOrder grouping: -0.0 and 0.0 are DISTINCT groups
+    kb = keys.view(np.uint64)
+    uniq_bits = np.unique(kb)
+    assert ng == len(uniq_bits)
+    got_bits = np.asarray(gk).view(np.uint64)
+    # every bit-distinct group present exactly once with the right max
+    assert set(got_bits.tolist()) == set(uniq_bits.tolist())
+    for b, m in zip(got_bits, mx):
+        assert m == vals[kb == b].max()
+
+
+def test_hierarchical_group_aggregate_single_hot_key():
+    """One distinct key: after local grouping each device contributes one
+    partial row, so even total skew cannot overflow."""
+    n = 8 * 512
+    keys = np.full(n, 7, dtype=np.uint64)
+    vals = np.arange(n, dtype=np.int64)
+    ng, gk, s = multihost.hierarchical_group_aggregate(
+        keys, vals, agg="sum", mesh=_mesh(2))
+    assert ng == 1 and gk[0] == 7 and s[0] == vals.sum()
