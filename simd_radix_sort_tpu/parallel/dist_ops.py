@@ -74,6 +74,77 @@ def combine_identity(dtype, combine):
     return dtype.type(np.inf if combine == "min" else -np.inf)
 
 
+def stage_aggregate_inputs(keys, values, agg, what):
+    """Shared host-side validation/staging for the distributed aggregate
+    entries (flat and hierarchical).  Returns
+    (aggs_req, keys_bits, key_f64, values)."""
+    aggs_req = (agg,) if isinstance(agg, str) else tuple(agg)
+    if not aggs_req:
+        raise ValueError(f"{what}: empty agg tuple")
+    for a in aggs_req:
+        if a not in PARTIALS:
+            raise ValueError(f"{what}: unsupported aggregate {a!r}")
+    keys, key_f64 = dist_sort.stage_host_bits(np.asarray(keys))
+    values = np.asarray(values)
+    if values.shape[0] != keys.shape[0]:
+        raise ValueError(f"values length {values.shape[0]} != keys "
+                         f"length {keys.shape[0]}")
+    # values do arithmetic on device, so they get the same 64-bit-mode
+    # guard as keys (jnp.asarray would silently truncate int64 with x64
+    # off), and f64 values cannot ride the bits-staging trick — on
+    # lossy-f64 backends the sums would be silently approximate
+    common.check_64bit_ok(values.dtype)
+    if jax.default_backend() not in ("cpu",) and values.dtype == np.float64:
+        raise NotImplementedError(
+            "float64 aggregate values on a lossy-f64 backend would be "
+            "silently inexact; cast values to float32/int64 or run on CPU")
+    return aggs_req, keys, key_f64, values
+
+
+def run_elastic_aggregate(make_fn, keys_d, vals_d, n_local, num_p,
+                          capacity_factor, max_retries, what):
+    """Elastic-capacity retry loop shared by the aggregate entries:
+    `make_fn(cap_recv)` builds the jitted step; capacity doubles on
+    overflow up to max_retries; raises if even the widest attempt
+    overflowed.  Returns the final out tuple (overflow flag last)."""
+    cap = capacity_factor
+    for attempt in range(max_retries + 1):
+        cap_recv = max(int(cap * n_local), 1)
+        out = make_fn(cap_recv)(keys_d, vals_d)
+        if not bool(np.asarray(out[-1]).any()):
+            break
+        if attempt == max_retries or cap >= num_p:
+            break
+        cap = min(cap * 2.0, float(num_p))
+    if bool(np.asarray(out[-1]).any()):
+        raise ValueError(
+            f"{what}: a key range's partials exceed receive capacity even "
+            f"at factor {cap}; groups are too skewed for the per-device "
+            "buffer")
+    return out
+
+
+def assemble_aggregate_result(out, agg, aggs_req, partial_aggs, key_f64):
+    """Gather per-device group tables (device order IS key-ascending) and
+    unpack partial totals into the requested aggregates."""
+    counts, gks, totals = out[0], out[1], out[2:-1]
+    gk_out, tot = dist_sort.gather_result(gks, tuple(totals), counts)
+    if key_f64 is not None:
+        gk_out = gk_out.view(key_f64)
+    ng = int(np.asarray(counts).sum())
+    tot = [np.asarray(t) for t in tot]  # combined partials, partial_aggs order
+    slot = {pa: i for i, pa in enumerate(partial_aggs)}
+
+    def result_for(a):
+        if a == "mean":
+            return tot[slot["sum"]] / tot[slot["count"]].astype(np.float64)
+        return tot[slot[PARTIALS[a][0]]]
+
+    if isinstance(agg, str):
+        return ng, gk_out, result_for(agg)
+    return ng, gk_out, tuple(result_for(a) for a in aggs_req)
+
+
 def combine_received_partials(recv, nk, part_dts, partial_aggs,
                               total_recv, cap_recv):
     """Combine exchanged partial rows into per-group totals.
@@ -200,33 +271,15 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
     like the single-chip sort/group_aggregate (-0.0 is its own group
     below +0.0, NaN bit patterns are distinct groups) — the same on
     every backend."""
-    aggs_req = (agg,) if isinstance(agg, str) else tuple(agg)
-    if not aggs_req:
-        raise ValueError("distributed aggregate: empty agg tuple")
-    for a in aggs_req:
-        if a not in ("sum", "count", "min", "max", "mean"):
-            raise ValueError(f"unsupported distributed aggregate {a!r}")
+    aggs_req, keys, key_f64, values = stage_aggregate_inputs(
+        keys, values, agg, "distributed_group_aggregate")
     if mesh is None:
         mesh = make_mesh()
     num_p = mesh.shape[axis]
     use_ragged = dist_sort.default_use_ragged(use_ragged)
-    keys, key_f64 = dist_sort.stage_host_bits(np.asarray(keys))
     _check_divisible(keys.shape[0], mesh, axis,
                      "distributed_group_aggregate keys")
     n_local = keys.shape[0] // num_p
-    values = np.asarray(values)
-    if values.shape[0] != keys.shape[0]:
-        raise ValueError(f"values length {values.shape[0]} != keys "
-                         f"length {keys.shape[0]}")
-    # values do arithmetic on device, so they get the same 64-bit-mode
-    # guard as keys (jnp.asarray would silently truncate int64 with x64
-    # off), and f64 values cannot ride the bits-staging trick — on
-    # lossy-f64 backends the sums would be silently approximate
-    common.check_64bit_ok(values.dtype)
-    if jax.default_backend() not in ("cpu",) and values.dtype == np.float64:
-        raise NotImplementedError(
-            "float64 aggregate values on a lossy-f64 backend would be "
-            "silently inexact; cast values to float32/int64 or run on CPU")
     sharding = NamedSharding(mesh, P(axis))
     keys_d = jax.device_put(jnp.asarray(keys), sharding)
     vals_d = jax.device_put(jnp.asarray(values), sharding)
@@ -277,11 +330,8 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
             tuple(wf), key_dtype, True, as_bits=key_f64 is not None)
         return (cnt[None], gk_f) + tuple(tot_f) + (overflow[None],)
 
-    # elastic recovery: double the per-range capacity on overflow
-    cap = capacity_factor
-    for attempt in range(max_retries + 1):
-        cap_recv = max(int(cap * n_local), 1)
-        fn = dist_sort.cached_jit(
+    def make_fn(cap_recv):
+        return dist_sort.cached_jit(
             ("aggregate", mesh, axis, aggs_req, cap_recv, samples_per_device,
              use_ragged, str(key_f64), keys.shape, keys.dtype.str,
              values.dtype.str),
@@ -289,35 +339,12 @@ def distributed_group_aggregate(keys, values, agg: str = "sum",
                 lambda k, v: local(cap_recv, k, v), mesh=mesh,
                 in_specs=(P(axis), P(axis)),
                 out_specs=(P(axis),) * (3 + len(partial_aggs))))
-        out = fn(keys_d, vals_d)
-        if not bool(np.asarray(out[-1]).any()):
-            break
-        if attempt == max_retries or cap >= num_p:
-            break
-        cap = min(cap * 2.0, float(num_p))
-    counts, gks, totals = out[0], out[1], out[2:-1]
-    if bool(np.asarray(out[-1]).any()):
-        raise ValueError(
-            "distributed_group_aggregate: a key range's partials exceed "
-            f"receive capacity even at factor {cap}; groups are too "
-            "skewed for the per-device buffer")
-    # device p holds the p-th key range's groups: concatenating valid
-    # prefixes in device order IS the key-ascending group table
-    gk_out, tot = dist_sort.gather_result(gks, tuple(totals), counts)
-    if key_f64 is not None:
-        gk_out = gk_out.view(key_f64)
-    ng = int(np.asarray(counts).sum())
-    tot = [np.asarray(t) for t in tot]  # combined partials, partial_aggs order
-    slot = {pa: i for i, pa in enumerate(partial_aggs)}
 
-    def result_for(a):
-        if a == "mean":
-            return tot[slot["sum"]] / tot[slot["count"]].astype(np.float64)
-        return tot[slot[PARTIALS[a][0]]]
-
-    if isinstance(agg, str):
-        return ng, gk_out, result_for(agg)
-    return ng, gk_out, tuple(result_for(a) for a in aggs_req)
+    out = run_elastic_aggregate(make_fn, keys_d, vals_d, n_local, num_p,
+                                capacity_factor, max_retries,
+                                "distributed_group_aggregate")
+    return assemble_aggregate_result(out, agg, aggs_req, partial_aggs,
+                                     key_f64)
 
 
 def _hot_keys_from_sample(domain, axis: str, samples_per_shard: int,

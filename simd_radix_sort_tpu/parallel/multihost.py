@@ -37,7 +37,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import hashagg
-from ..utils import common
 from ..utils import transforms
 from . import dist_ops
 from . import dist_sort
@@ -333,16 +332,18 @@ def hierarchical_group_aggregate_sharded(keys, values, mesh: Mesh,
             recv1, tot1, ov1 = dist_sort.exchange_by_bounds(
                 kops + tuple(part_ops), dist_sort.lex_bounds(kops, spl_s),
                 dcn_axis, cap1, use_ragged, n_valid=ng)
+            cnt1, gk1, parts1 = dist_ops.combine_received_partials(
+                recv1, nk, part_dts, partial_aggs, tot1, cap1)
             c1 = cap1
+            kops1 = force_tail(gk1, c1, cnt1)
         else:
-            recv1 = kops + tuple(
-                dist_sort.split_payload_streams(parts, part_dts))
-            tot1, ov1, c1 = ng, jnp.int32(0), k.shape[0]
-        cnt1, gk1, parts1 = dist_ops.combine_received_partials(
-            recv1, nk, part_dts, partial_aggs, tot1, c1)
+            # one slice: tier 0 already grouped, deduped, and sorted this
+            # device's partials — feed them to tier 2 directly instead of
+            # paying a redundant combine pass
+            cnt1, gk1, parts1 = ng, gkc, parts
+            ov1, c1, kops1 = jnp.int32(0), k.shape[0], kops
 
         # ---- tier 2: ICI — route combined partials to their owner chip
-        kops1 = force_tail(gk1, c1, cnt1)
         if num_c > 1:
             spl_c = dist_sort.gather_splitters(
                 kops1, ici_axis, num_c - 1, samples_per_device,
@@ -388,39 +389,22 @@ def hierarchical_group_aggregate(keys, values, agg="sum",
     every partial crosses DCN at most once in an S-way collective, and
     the fine-grained partitioning traffic stays on ICI.
     """
-    aggs_req = (agg,) if isinstance(agg, str) else tuple(agg)
-    if not aggs_req:
-        raise ValueError("hierarchical aggregate: empty agg tuple")
-    for a in aggs_req:
-        if a not in dist_ops.PARTIALS:
-            raise ValueError(f"unsupported aggregate {a!r}")
+    aggs_req, keys, key_f64, values = dist_ops.stage_aggregate_inputs(
+        keys, values, agg, "hierarchical_group_aggregate")
     if mesh is None:
         mesh = make_hierarchical_mesh(ici_axis, dcn_axis, num_slices)
     num_p = mesh.shape[dcn_axis] * mesh.shape[ici_axis]
-    keys, key_f64 = dist_sort.stage_host_bits(np.asarray(keys))
     if keys.shape[0] % num_p:
         raise ValueError(f"global length {keys.shape[0]} not divisible "
                          f"by mesh size {num_p}")
     n_local = keys.shape[0] // num_p
-    values = np.asarray(values)
-    if values.shape[0] != keys.shape[0]:
-        raise ValueError(f"values length {values.shape[0]} != keys "
-                         f"length {keys.shape[0]}")
-    common.check_64bit_ok(values.dtype)
-    if jax.default_backend() not in ("cpu",) and values.dtype == np.float64:
-        raise NotImplementedError(
-            "float64 aggregate values on a lossy-f64 backend would be "
-            "silently inexact; cast values to float32/int64 or run on CPU")
     sharding = NamedSharding(mesh, P((dcn_axis, ici_axis)))
     keys_d = jax.device_put(jnp.asarray(keys), sharding)
     vals_d = jax.device_put(jnp.asarray(values), sharding)
-    key_dtype = key_f64 or keys.dtype
     partial_aggs = dist_ops.partial_streams_for(aggs_req)
 
-    cap = capacity_factor
-    for attempt in range(max_retries + 1):
-        cap_recv = max(int(cap * n_local), 1)
-        fn = dist_sort.cached_jit(
+    def make_fn(cap_recv):
+        return dist_sort.cached_jit(
             ("hier_aggregate", mesh, ici_axis, dcn_axis, aggs_req, cap_recv,
              samples_per_device, use_ragged, str(key_f64), keys.shape,
              keys.dtype.str, values.dtype.str),
@@ -430,32 +414,12 @@ def hierarchical_group_aggregate(keys, values, agg="sum",
                 cap1=cap_recv, cap2=cap_recv,
                 samples_per_device=samples_per_device, key_dtype=key_f64,
                 use_ragged=use_ragged))
-        out = fn(keys_d, vals_d)
-        if not bool(np.asarray(out[-1]).any()):
-            break
-        if attempt == max_retries or cap >= num_p:
-            break
-        cap = min(cap * 2.0, float(num_p))
-    if bool(np.asarray(out[-1]).any()):
-        raise ValueError(
-            "hierarchical_group_aggregate: partials exceed receive "
-            f"capacity even at factor {cap}")
-    counts, gks, totals = out[0], out[1], out[2:-1]
-    gk_out, tot = dist_sort.gather_result(gks, tuple(totals), counts)
-    if key_f64 is not None:
-        gk_out = gk_out.view(key_f64)
-    ng = int(np.asarray(counts).sum())
-    tot = [np.asarray(t) for t in tot]
-    slot = {pa: i for i, pa in enumerate(partial_aggs)}
 
-    def result_for(a):
-        if a == "mean":
-            return tot[slot["sum"]] / tot[slot["count"]].astype(np.float64)
-        return tot[slot[dist_ops.PARTIALS[a][0]]]
-
-    if isinstance(agg, str):
-        return ng, gk_out, result_for(agg)
-    return ng, gk_out, tuple(result_for(a) for a in aggs_req)
+    out = dist_ops.run_elastic_aggregate(
+        make_fn, keys_d, vals_d, n_local, num_p, capacity_factor,
+        max_retries, "hierarchical_group_aggregate")
+    return dist_ops.assemble_aggregate_result(out, agg, aggs_req,
+                                              partial_aggs, key_f64)
 
 
 def distributed_sort_multihost(keys, *payloads, ici_axis: str = "x",

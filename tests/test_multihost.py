@@ -142,3 +142,19 @@ def test_hierarchical_group_aggregate_single_hot_key():
     ng, gk, s = multihost.hierarchical_group_aggregate(
         keys, vals, agg="sum", mesh=_mesh(2))
     assert ng == 1 and gk[0] == 7 and s[0] == vals.sum()
+
+
+def test_hierarchical_group_aggregate_one_slice_skips_tier1():
+    """num_slices=1: tier 1 feeds tier 2 directly (no redundant combine);
+    results identical to the flat aggregate."""
+    rng = np.random.default_rng(66)
+    n = 8 * 256
+    keys = rng.integers(0, 100, n).astype(np.uint32)
+    vals = rng.integers(1, 50, n).astype(np.int32)
+    ng, gk, (s, mn) = multihost.hierarchical_group_aggregate(
+        keys, vals, agg=("sum", "min"), mesh=_mesh(1))
+    uniq = np.unique(keys)
+    assert ng == len(uniq)
+    assert np.array_equal(gk, uniq)
+    assert np.array_equal(s, [vals[keys == u].sum() for u in uniq])
+    assert np.array_equal(mn, [vals[keys == u].min() for u in uniq])
