@@ -295,3 +295,30 @@ def test_sort_multi_u64_and_f64_columns():
     order = np.lexsort((c2, c1))
     assert np.array_equal(o1, c1[order])
     assert np.array_equal(o2, c2[order])
+
+
+def test_argsort_dtypes_directions_stability():
+    import simd_radix_sort_tpu as srs
+    rng = np.random.default_rng(72)
+    n = 4000
+    for dtype in (np.int16, np.uint32, np.int64, np.float32, np.float64):
+        if np.dtype(dtype).kind == "f":
+            keys = rng.choice(
+                np.array([-5.5, -0.0, 0.0, 2.25, 1e30], dtype), n)
+        else:
+            keys = rng.integers(0, 50, n).astype(dtype)  # heavy ties
+        for ascending in (True, False):
+            idx = np.asarray(srs.argsort(keys, ascending=ascending))
+            kb = keys.view(f"u{keys.dtype.itemsize}") \
+                if np.dtype(dtype).kind == "f" else keys
+            got = kb[idx]
+            assert idx.dtype == np.int32
+            assert np.array_equal(np.sort(idx), np.arange(n))
+            # key sequence matches the sorted keys bit-for-bit
+            want_keys = np.asarray(srs.sort(keys, ascending=ascending))
+            assert np.array_equal(got, want_keys.view(kb.dtype)), (
+                dtype, ascending)
+            # positional stability within equal keys
+            for run_val in np.unique(kb)[:3]:
+                pos = idx[got == run_val]
+                assert np.all(pos[:-1] < pos[1:]), (dtype, ascending)
