@@ -65,6 +65,19 @@ def main():
         print(f"  region {r}: revenue {int(v)} over {int(c)} orders "
               f"(mean {mu:.0f})")
 
+    # 3b. the same aggregate over a hierarchical (DCN x ICI) mesh: partials
+    # cross the slow axis once in an S-way collective (multi-slice path)
+    if n_dev % 2 == 0:
+        from simd_radix_sort_tpu.parallel import multihost
+        m = len(reg_j) // n_dev * n_dev
+        hng, hreg, hrev = multihost.hierarchical_group_aggregate(
+            reg_j[:m], amt_j[:m].astype(np.int64), agg="sum",
+            mesh=multihost.make_hierarchical_mesh(num_slices=2))
+        assert hng == ngroups and np.array_equal(hreg, regions)
+        assert np.array_equal(hrev, revenue)
+        print(f"hierarchical aggregate (2 slices): matches flat "
+              f"({hng} regions)")
+
     # 4. distributed sort of the joined table by amount (descending)
     m = len(amt_j) // n_dev * n_dev
     out_k, out_p, counts_s, ov_s, meta = dist_sort.distributed_sort(
