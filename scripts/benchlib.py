@@ -36,11 +36,13 @@ M3 = np.uint64(0x94D049BB133111EB)
 
 
 def splitmix64(x):
-    """Counter-based uniform u64 stream (public splitmix64 constants);
-    works on jnp and np uint64 arrays alike."""
-    z = (x + M1) * M2
-    z = (z ^ (z >> np.uint64(30))) * M3
-    z = (z ^ (z >> np.uint64(27))) * M2
+    """The canonical splitmix64 mixer (same algorithm as
+    utils/data._splitmix64, restated here for jnp arrays): externally
+    reproducible, so a C++/NumPy cross-check regenerates identical
+    benchmark streams."""
+    z = x + M1
+    z = (z ^ (z >> np.uint64(30))) * M2
+    z = (z ^ (z >> np.uint64(27))) * M3
     return z ^ (z >> np.uint64(31))
 
 

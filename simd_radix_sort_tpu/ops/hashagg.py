@@ -95,13 +95,22 @@ def group_aggregate(keys: jax.Array, values, aggs=("sum",),
     cnt_slot = register(pos + 1) if need_cnt else None
 
     plans = []  # (agg, [(slot, scan_dtype)...]) per requested aggregate
+    scan_memo = {}  # (scan kind, stream index) -> (slot, scan_dtype):
+    # sum and mean share one scan per stream, and repeated aggs reuse
+    # theirs — duplicate scans would ride the single compaction sort as
+    # dead extra operands (its dominant cost is stream bandwidth)
     for agg, streams in zip(aggs, agg_streams):
-        sel = tuple(vals[i] for i in streams)
         if agg == "count":
             plans.append((agg, [(cnt_slot, None)]))
-        elif agg in ("sum", "mean"):
-            slots = []
-            for v in sel:
+            continue
+        slots = []
+        for i in streams:
+            v = vals[i]
+            kind = "sum" if agg in ("sum", "mean") else agg
+            if (kind, i) in scan_memo:
+                slots.append(scan_memo[kind, i])
+                continue
+            if kind == "sum":
                 acc = v.astype(jnp.float32) if v.dtype == jnp.float16 else v
                 if np.dtype(acc.dtype).kind == "f":
                     # float sums use a SEGMENTED scan: a global cumsum
@@ -110,15 +119,16 @@ def group_aggregate(keys: jax.Array, values, aggs=("sum",),
                     # fuzzing); the segmented form keeps rounding error
                     # group-local.  Integer cumsum is exact, so it keeps
                     # the cheaper global form.
-                    seg = _segmented_scan(acc, starts, jnp.add)
-                    slots.append((register(seg), None))
+                    entry = (register(_segmented_scan(acc, starts, jnp.add)),
+                             None)
                 else:
-                    slots.append((register(jnp.cumsum(acc)), acc.dtype))
-            plans.append((agg, slots))
-        else:  # min / max
-            op = jnp.minimum if agg == "min" else jnp.maximum
-            plans.append((agg, [(register(_segmented_scan(v, starts, op)),
-                                 None) for v in sel]))
+                    entry = (register(jnp.cumsum(acc)), acc.dtype)
+            else:  # min / max
+                op = jnp.minimum if kind == "min" else jnp.maximum
+                entry = (register(_segmented_scan(v, starts, op)), None)
+            scan_memo[kind, i] = entry
+            slots.append(entry)
+        plans.append((agg, slots))
 
     packed = filter_ops.compact(ends, *pending)
     num_groups, group_keys = packed[0], packed[1]

@@ -269,7 +269,9 @@ def hierarchical_sort(keys, *payloads, mesh: Mesh | None = None,
 def hierarchical_group_aggregate_sharded(keys, values, mesh: Mesh,
                                          aggs_req, ici_axis: str = "x",
                                          dcn_axis: str = "slice",
-                                         cap1: int = 0, cap2: int = 0,
+                                         capacity_factor: float = 2.0,
+                                         cap1: int | None = None,
+                                         cap2: int | None = None,
                                          samples_per_device: int = 128,
                                          key_dtype=None,
                                          use_ragged: bool | None = None):
@@ -296,6 +298,13 @@ def hierarchical_group_aggregate_sharded(keys, values, mesh: Mesh,
     """
     num_s = mesh.shape[dcn_axis]
     num_c = mesh.shape[ici_axis]
+    n_local = keys.shape[0] // (num_s * num_c)
+    # derive receive capacities like hierarchical_sort_sharded does —
+    # explicit cap1/cap2 (the host entry's elastic retry) override
+    if cap1 is None:
+        cap1 = max(int(math.ceil(capacity_factor * n_local)), 1)
+    if cap2 is None:
+        cap2 = max(int(math.ceil(capacity_factor * n_local)), 1)
     partial_aggs = dist_ops.partial_streams_for(aggs_req)
     use_ragged = dist_sort.default_use_ragged(use_ragged)
     kdt = np.dtype(key_dtype) if key_dtype is not None \
