@@ -400,3 +400,21 @@ def test_empty_tables():
     counts, k_out, opp, obp, ov, meta = dist_ops.distributed_join(
         ek, (ep,), ek, (ep,), out_rows_per_device=16)
     assert int(np.asarray(counts).sum()) == 0 and not np.asarray(ov).any()
+
+
+def test_aggregate_entry_error_paths():
+    """stage_aggregate_inputs guards shared by flat + hierarchical entries."""
+    import pytest
+    keys = np.arange(8 * 16, dtype=np.int32)
+    vals = np.ones(8 * 16, dtype=np.int32)
+    with pytest.raises(ValueError, match="empty agg tuple"):
+        dist_ops.distributed_group_aggregate(keys, vals, agg=())
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        dist_ops.distributed_group_aggregate(keys, vals, agg="median")
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        dist_ops.distributed_group_aggregate(keys, vals,
+                                             agg=("sum", "var"))
+    with pytest.raises(ValueError, match="values length"):
+        dist_ops.distributed_group_aggregate(keys, vals[:-1], agg="sum")
+    with pytest.raises(ValueError, match="not divisible"):
+        dist_ops.distributed_group_aggregate(keys[:-3], vals[:-3], agg="sum")
