@@ -47,13 +47,27 @@ def splitmix64(x):
 
 
 def fence(out) -> None:
-    """Force completion with a host fetch (tunnel-safe fence)."""
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    """Force completion with a host fetch (tunnel-safe fence).
+
+    Slices one element per axis BEFORE flattening: ravel()[:1] on a
+    >2^31-element array lowers to a 64-bit-index dynamic_slice that the
+    TPU X64 rewriter rejects (hit at 1e8 x 24 u8 rows)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    corner = leaf[tuple(slice(0, 1) for _ in range(leaf.ndim))]
+    np.asarray(corner)
 
 
-def timeit(fn, args, reps: int = 5, warmup: int = 2) -> float:
+def timeit(fn, args, reps: int = 5, warmup: int = 2,
+           per_rep_fence: bool = False) -> float:
     """Seconds per call: warm up, dispatch reps back-to-back, fence ONCE
-    (per-rep fences measure the tunnel, not the chip — BENCH_NOTES.md)."""
+    (per-rep fences measure the tunnel, not the chip — BENCH_NOTES.md).
+
+    per_rep_fence=True fences (one-element host fetch) after every rep
+    and frees the previous rep's output first.  Use it when one result
+    is GBs: back-to-back dispatch keeps every queued rep's output buffer
+    live, which OOMs 16 GB HBM at 1e8 x 24 B rows.  The fetch costs ~ms
+    through the tunnel vs ~1 s per sort at that scale (<1% bias), the
+    same protocol bench.py uses for the 1.6 GB headline."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
@@ -61,7 +75,13 @@ def timeit(fn, args, reps: int = 5, warmup: int = 2) -> float:
         out = fn(*args)
     fence(out)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    fence(out)
+    if per_rep_fence:
+        for _ in range(reps):
+            del out  # release the previous 2.4 GB result before dispatch
+            out = fn(*args)
+            fence(out)
+    else:
+        for _ in range(reps):
+            out = fn(*args)
+        fence(out)
     return (time.perf_counter() - t0) / reps

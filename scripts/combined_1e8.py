@@ -86,7 +86,9 @@ def main():
 
     packed = gen(n)
     benchlib.fence(packed)
-    sec = benchlib.timeit(run, (packed,), reps=args.reps, warmup=1)
+    # per-rep fence: one 2.4 GB result per rep; queued-rep buffers OOM HBM
+    sec = benchlib.timeit(run, (packed,), reps=args.reps, warmup=1,
+                          per_rep_fence=True)
     out = run(packed)
 
     @jax.jit

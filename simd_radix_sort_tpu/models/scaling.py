@@ -1,0 +1,290 @@
+"""Analytic ICI/DCN scaling model for the distributed splitter sort.
+
+The north star's second metric is "scaling eff 1->N hosts"; only one
+physical chip is reachable here, so this model is the projection the
+hardware allows: it prices every phase of `parallel.dist_sort`
+(local sort -> splitter gather -> ragged all-to-all -> final sort) and of
+`parallel.multihost.hierarchical_sort` (the extra DCN tier) from
+
+  * the MEASURED single-chip compare-bound floor (BENCH_r03/r04:
+    ~148 Mrows/s for [u64,u64] at 1e8 rows — DESIGN_NOTES' refutation
+    record pins the mover to `lax.sort`, so local time scales as
+    c * n * log2(n)), and
+  * PUBLIC per-chip interconnect figures (cloud.google.com TPU system
+    architecture pages), derated by an explicit achievable-fraction
+    knob rather than silently.
+
+The reference has no analogue (single-threaded by design,
+bachelors-thesis.tex:4190-4203 lists multithreading as future work);
+SURVEY.md section 2.11 names this layer as new, TPU-native scope.
+
+Phase accounting mirrors `dist_sort.splitter_sort_core` exactly:
+
+  1. local sort of the n/P-row shard          -> t_sort(n/P)
+  2. sample + all_gather splitters            -> latency-dominated term
+  3. `ragged_all_to_all`: uniform keys send (P-1)/P of the shard's bytes
+     over ICI (each row leaves its source with prob (P-1)/P)
+  4. final local sort of the received shard   -> t_sort(n/P * slack)
+
+Phase 4 is a full second `lax.sort` over the capacity_factor-padded
+receive buffer (dist_sort.py: cap_recv = 2 * n_local by default, paid
+even at P=1 — static SPMD shapes sort the padding too), so even with
+free communication the per-chip throughput vs the SINGLE-CHIP sort is
+bounded by roughly 1 / (1 + capacity_factor).  Efficiency vs the
+distributed code at P=1 (the conventional strong-scaling baseline,
+reported by `scaling_efficiency`) has no such factor: both sides pay
+both sorts.  Both numbers are reported; RESULTS.md states which
+falsifiable prediction the >=80%-at-2-hosts clause maps to.
+
+`final_mode="blocked"` models the segment-aligned exchange variant
+(K key-range segments per device, each delivered to its own aligned
+sub-buffer, final pass = one batched (K, cap_seg) block sort): batched
+block sorts measure 919-1268 Melem/s on this chip vs ~148 for the full
+sort (BENCH_NOTES.md "Why the engine choices"), so phase 4 drops from
+dominating to a ~15% tax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+from . import roofline
+
+
+@dataclasses.dataclass(frozen=True)
+class LinkSpec:
+    """Interconnect figures for one TPU generation.
+
+    ici_gbps: published per-chip aggregate ICI bandwidth, Gbit/s
+      (v4 2400, v5e 1600, v5p 4800, v6e 3584 — cloud TPU system
+      architecture tables).  all_to_all effective throughput per chip is
+      `ici_gbps/8 * ici_frac` GB/s: the published figure counts both
+      directions over all links, and an all-to-all on a torus sustains
+      roughly half of it minus protocol overhead, folded into ici_frac.
+    dcn_gbps_per_host: NIC bandwidth per host (v5e hosts ship 8 chips
+      behind ~200 Gbps; v4/v5p 4 chips).
+    """
+
+    name: str
+    ici_gbps: float
+    ici_frac: float
+    dcn_gbps_per_host: float
+    chips_per_host: int
+
+    @property
+    def ici_bytes_per_s(self) -> float:
+        return self.ici_gbps / 8 * 1e9 * self.ici_frac
+
+    @property
+    def dcn_bytes_per_s_per_chip(self) -> float:
+        return self.dcn_gbps_per_host / 8 * 1e9 / self.chips_per_host
+
+
+LINKS = {
+    "v4": LinkSpec("v4", 2400.0, 0.4, 400.0, 4),
+    "v5e": LinkSpec("v5e", 1600.0, 0.4, 200.0, 8),
+    "v5p": LinkSpec("v5p", 4800.0, 0.4, 400.0, 4),
+    "v6e": LinkSpec("v6e", 3584.0, 0.4, 400.0, 8),
+}
+
+# Measured single-chip anchor (BENCH_r03/r04, TPU v5e): [u64,u64] 1e8 rows.
+MEASURED_ANCHOR = {
+    "rows_per_s": 147.9e6,
+    "n": 1e8,
+    "row_bytes": 16,
+}
+
+# Measured batched block-sort rate (BENCH_NOTES: (C, 8192)-shaped row
+# sorts run 919-1268 Melem/s); conservative end, used by the blocked
+# final-pass model.
+BLOCKED_SORT_ROWS_PER_S = 919e6
+
+# Per-collective dispatch/latency floor (seconds).  Small collectives
+# (splitter gather, size matrix all_gather) are latency- not bandwidth-
+# bound; 25 us is a conservative public figure for an ICI hop chain.
+COLLECTIVE_LATENCY_S = 25e-6
+
+
+def sort_seconds(n: float, anchor: dict | None = None) -> float:
+    """Compare-bound local sort time: c * n * log2(n), c calibrated from
+    the measured anchor.  Holds while the mover is `lax.sort`
+    (DESIGN_NOTES: every alternative mover family measured and refuted)."""
+    a = anchor or MEASURED_ANCHOR
+    c = (1.0 / a["rows_per_s"]) / math.log2(a["n"])
+    n = max(float(n), 2.0)
+    return c * n * math.log2(n)
+
+
+@dataclasses.dataclass(frozen=True)
+class PhaseBreakdown:
+    local_sort_s: float
+    splitter_s: float
+    exchange_s: float
+    final_sort_s: float
+
+    @property
+    def total_s(self) -> float:
+        return (self.local_sort_s + self.splitter_s + self.exchange_s
+                + self.final_sort_s)
+
+
+def distributed_sort_phases(n_global: float, num_chips: int,
+                            row_bytes: int = 16,
+                            link: LinkSpec | None = None,
+                            capacity_factor: float = 2.0,
+                            dcn_fraction_of_chips: float = 0.0,
+                            final_mode: str = "sort",
+                            anchor: dict | None = None) -> PhaseBreakdown:
+    """Phase times for `distributed_sort` over `num_chips` devices,
+    faithful to dist_sort.splitter_sort_core: the final pass sorts the
+    FULL capacity_factor-padded receive buffer, including at P=1.
+
+    final_mode: "sort" = the shipped implementation (full `lax.sort` of
+    cap_recv rows); "blocked" = the segment-aligned variant (batched
+    block sort at the measured BLOCKED_SORT_ROWS_PER_S).
+
+    dcn_fraction_of_chips > 0 models the hierarchical case: that
+    fraction of each shard's exchanged bytes crosses DCN (at the per-chip
+    DCN share) instead of ICI.  For the flat sort inside one slice it is
+    0; for S slices phase 1 ships (S-1)/S of the rows across DCN once
+    (multihost.py's "every row crosses DCN at most once" invariant).
+    """
+    link = link or LINKS["v5e"]
+    P = max(int(num_chips), 1)
+    n_local = n_global / P
+
+    t_sort1 = sort_seconds(n_local, anchor)
+    # splitter sample gather + size-matrix all_gather: 3 latency-bound
+    # collectives (sample gather, bounds search is local, size matrix)
+    t_split = 3 * COLLECTIVE_LATENCY_S * max(math.log2(P), 1.0)
+    sent_bytes = n_local * row_bytes * (P - 1) / P
+    ici_bytes = sent_bytes * (1.0 - dcn_fraction_of_chips)
+    dcn_bytes = sent_bytes * dcn_fraction_of_chips
+    t_exch = (ici_bytes / link.ici_bytes_per_s
+              + dcn_bytes / link.dcn_bytes_per_s_per_chip)
+    if P == 1:
+        t_exch = 0.0
+    cap = n_local * capacity_factor
+    if final_mode == "blocked":
+        t_sort2 = cap / BLOCKED_SORT_ROWS_PER_S
+    else:
+        t_sort2 = sort_seconds(cap, anchor)
+    return PhaseBreakdown(t_sort1, t_split, t_exch, t_sort2)
+
+
+def hierarchical_sort_phases(n_global: float, num_slices: int,
+                             chips_per_slice: int, row_bytes: int = 16,
+                             link: LinkSpec | None = None,
+                             capacity_factor: float = 2.0,
+                             final_mode: str = "sort",
+                             anchor: dict | None = None) -> PhaseBreakdown:
+    """Two-tier (DCN x ICI) sort: phase 1 moves (S-1)/S of the rows
+    across DCN once; phase 2 is a flat ICI sort within each slice."""
+    link = link or LINKS["v5e"]
+    S = max(int(num_slices), 1)
+    P = S * chips_per_slice
+    n_local = n_global / P
+
+    dcn_bytes = n_local * row_bytes * (S - 1) / S
+    t_dcn = dcn_bytes / link.dcn_bytes_per_s_per_chip if S > 1 else 0.0
+    inner = distributed_sort_phases(
+        n_global / S, chips_per_slice, row_bytes, link,
+        capacity_factor=capacity_factor, final_mode=final_mode,
+        anchor=anchor)
+    return PhaseBreakdown(inner.local_sort_s,
+                          inner.splitter_s + 2 * COLLECTIVE_LATENCY_S * S,
+                          inner.exchange_s + t_dcn,
+                          inner.final_sort_s)
+
+
+def scaling_efficiency(n_global: float, num_chips: int,
+                       row_bytes: int = 16,
+                       link: LinkSpec | None = None,
+                       baseline: str = "distributed_p1",
+                       capacity_factor: float = 2.0,
+                       final_mode: str = "sort",
+                       anchor: dict | None = None) -> float:
+    """Strong-scaling efficiency T(1) / (P * T(P)).
+
+    baseline="distributed_p1": T(1) is the distributed code at P=1
+      (the conventional scaling-curve baseline; same two-sort shape, no
+      exchange) — this is the number the >=80% clause is stated over.
+    baseline="single_chip": T(1) is the plain single-chip `lax.sort` —
+      the honest per-chip-throughput cost of going distributed; the
+      padded second sort puts it near 1/(1+capacity_factor).
+    """
+    if baseline == "single_chip":
+        t1 = sort_seconds(n_global, anchor)
+    else:
+        t1 = distributed_sort_phases(
+            n_global, 1, row_bytes, link, capacity_factor=capacity_factor,
+            final_mode=final_mode, anchor=anchor).total_s
+    tp = distributed_sort_phases(
+        n_global, num_chips, row_bytes, link,
+        capacity_factor=capacity_factor, final_mode=final_mode,
+        anchor=anchor).total_s
+    return t1 / (num_chips * tp)
+
+
+def weak_scaling_efficiency(n_per_chip: float, num_chips: int,
+                            row_bytes: int = 16,
+                            link: LinkSpec | None = None,
+                            baseline: str = "distributed_p1",
+                            capacity_factor: float = 2.0,
+                            final_mode: str = "sort",
+                            anchor: dict | None = None) -> float:
+    """Weak-scaling efficiency T(1) / T(P) at fixed rows/chip."""
+    if baseline == "single_chip":
+        t1 = sort_seconds(n_per_chip, anchor)
+    else:
+        t1 = distributed_sort_phases(
+            n_per_chip, 1, row_bytes, link,
+            capacity_factor=capacity_factor, final_mode=final_mode,
+            anchor=anchor).total_s
+    tp = distributed_sort_phases(
+        n_per_chip * num_chips, num_chips, row_bytes, link,
+        capacity_factor=capacity_factor, final_mode=final_mode,
+        anchor=anchor).total_s
+    return t1 / tp
+
+
+def projected_rows_per_s(n_global: float, num_chips: int,
+                         row_bytes: int = 16,
+                         link: LinkSpec | None = None,
+                         capacity_factor: float = 2.0,
+                         final_mode: str = "sort",
+                         anchor: dict | None = None) -> float:
+    return n_global / distributed_sort_phases(
+        n_global, num_chips, row_bytes, link,
+        capacity_factor=capacity_factor, final_mode=final_mode,
+        anchor=anchor).total_s
+
+
+def projection_table(n_per_chip: float = 1e8, row_bytes: int = 16,
+                     chips: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256),
+                     link: LinkSpec | None = None,
+                     capacity_factor: float = 2.0,
+                     final_mode: str = "sort") -> list[dict]:
+    """Weak-scaling projection rows for RESULTS.md: rows/s, efficiency
+    (both baselines), and the comm share per step at fixed rows/chip."""
+    link = link or LINKS["v5e"]
+    rows = []
+    for p in chips:
+        kw = dict(capacity_factor=capacity_factor, final_mode=final_mode)
+        ph = distributed_sort_phases(n_per_chip * p, p, row_bytes, link,
+                                     **kw)
+        rows.append({
+            "chips": p,
+            "rows_per_s": n_per_chip * p / ph.total_s,
+            "rows_per_s_per_chip": n_per_chip / ph.total_s,
+            "weak_eff": weak_scaling_efficiency(
+                n_per_chip, p, row_bytes, link, **kw),
+            "weak_eff_vs_single_chip": weak_scaling_efficiency(
+                n_per_chip, p, row_bytes, link, baseline="single_chip",
+                **kw),
+            "comm_share": ph.exchange_s / ph.total_s,
+            "exchange_s": ph.exchange_s,
+            "total_s": ph.total_s,
+        })
+    return rows
