@@ -192,18 +192,35 @@ def main():
                     help="also sweep engines on fixed combos")
     ap.add_argument("--large", action="store_true",
                     help="n=100k cells on headline combos (separate arm)")
+    ap.add_argument("--ref-n", action="store_true",
+                    help="n=2^18 tier: the reference's published table "
+                         "size (perf.hpp:65-89) on the headline combos, "
+                         "both arms, both directions, plus a device-"
+                         "engine sweep")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.out is None:
-        # the sampled CI gate / large run must never clobber the
+        # the sampled CI gate / large / ref-n runs must never clobber the
         # committed full-matrix artifact
         args.out = os.path.join(
             REPO, "GOLDEN_sample.json" if args.sample
             else "GOLDEN_LARGE_r03.json" if args.large
+            else "GOLDEN_REFN_r04.json" if args.ref_n
             else "GOLDEN_r03.json")
 
     all_dists = list(D.Distribution)
-    if args.large:
+    pshape_by_key = None
+    if args.ref_n:
+        # VERDICT r03 item 6: golden A/B at the perf harness's n = 2^18
+        # for the headline combos (int32, int32+int32, float+int32,
+        # double+double, uint8, uint64+uint64), both arms, asc+desc
+        key_names = ["int32", "float32", "float64", "uint8", "uint64"]
+        pshape_by_key = {"int32": [0, 3], "float32": [3],
+                         "float64": [4, 6], "uint8": [0], "uint64": [6]}
+        pshape_ids = None
+        dists = [D.Distribution.UNIFORM, D.Distribution.ZERO_ONE]
+        ns = (1 << 18,)
+    elif args.large:
         key_names = ["uint32", "uint64", "float64", "int16", "uint8"]
         pshape_ids = [0, 4, 6]
         dists = [D.Distribution.UNIFORM, D.Distribution.ZERO_ONE]
@@ -226,7 +243,8 @@ def main():
     total_fail = []
     t0 = time.time()
     for key_name in key_names:
-        p, s, f = run_key_type(key_name, pshape_ids, dists, ns,
+        ids = pshape_by_key[key_name] if pshape_by_key else pshape_ids
+        p, s, f = run_key_type(key_name, ids, dists, ns,
                                directions=(True, False),
                                arms=("sep", "comb"))
         report["per_key"][key_name] = {
@@ -237,6 +255,29 @@ def main():
         total_fail += f
         print(f"{key_name}: {p} passed, {s} skipped, {len(f)} FAILED",
               flush=True)
+
+    if args.ref_n:
+        # device-engine sweep at the same n: every device engine that
+        # supports 2^18 rows (rank is capability-gated to n <= 4096 and
+        # count to keys-only — noted per engine instead of silently
+        # skipped)
+        sweep = [("xla", "uint64", 6), ("xla", "int32", 3),
+                 ("quick", "uint64", 6), ("quick", "int32", 3),
+                 ("radix", "uint64", 6), ("radix", "int32", 3),
+                 ("count", "int32", 0), ("count", "uint8", 0)]
+        for method, key_name, ps in sweep:
+            p, _, f = run_key_type(
+                key_name, [ps], [D.Distribution.UNIFORM],
+                ns, directions=(True, False), arms=("sep",),
+                method=method)
+            tag = f"{method}:{key_name}-ps{ps}"
+            report["method_sweep"][tag] = {"passed": p, "failed": len(f)}
+            total_pass += p
+            total_fail += f
+            print(f"engine {tag}: {p} passed, {len(f)} FAILED", flush=True)
+        report["method_sweep"]["rank"] = \
+            "capability-gated: rank sort is n<=4096 (ops/rank_sort.py); " \
+            "covered at n<=4096 by GOLDEN_r03 method sweep"
 
     if args.methods:
         # engine sweep: every device/host engine vs the reference binary on

@@ -31,23 +31,45 @@ static std::size_t g_n = 1 << 18;
 
 template <typename M, typename K, typename... Ps>
 void cell(const char *combo, InputDistribution dist, const char *distName) {
-  const double ns = measureTimePerElementWithRepsAndWarmup<M, K, Ps...>(
-      g_n, dist);
-  std::cout << "{\"combo\": \"" << combo << "\", \"dist\": \"" << distName
-            << "\", \"n\": " << g_n << ", \"method\": \"" << M::name()
-            << "\", \"ns_per_elem\": " << ns << "}" << std::endl;
+  // round 4: the vendored baselines join the driver so the losing rows
+  // get same-host best-other anchors (Blacher: int32; Bramas:
+  // int/double +- same-type payload).  Skip unsupported combos the way
+  // the reference harness does (capability predicate, test.cpp:80) and
+  // keep its Bramas constant-input O(n^2) guard (perf.hpp:193-203).
+  if constexpr (!M::template isSupported<true, K, Ps...>()) {
+    return;
+  } else {
+    if (std::is_same_v<M, SortMethodBramas> &&
+        (dist == InputDistribution::Zero ||
+         dist == InputDistribution::ZeroOne ||
+         dist == InputDistribution::Sorted) &&
+        g_n > (1 << 18)) {
+      return;
+    }
+    const double ns = measureTimePerElementWithRepsAndWarmup<M, K, Ps...>(
+        g_n, dist);
+    std::cout << "{\"combo\": \"" << combo << "\", \"dist\": \"" << distName
+              << "\", \"n\": " << g_n << ", \"method\": \"" << M::name()
+              << "\", \"ns_per_elem\": " << ns << "}" << std::endl;
+  }
 }
 
 template <typename K, typename... Ps>
 void combo(const char *name) {
   const InputDistribution dists[] = {
-      InputDistribution::Uniform, InputDistribution::Gaussian,
-      InputDistribution::Zero, InputDistribution::ZeroOne};
-  const char *distNames[] = {"Uniform", "Gaussian", "Zero", "ZeroOne"};
-  for (int i = 0; i < 4; i++) {
+      InputDistribution::Uniform,      InputDistribution::Gaussian,
+      InputDistribution::Zero,         InputDistribution::ZeroOne,
+      InputDistribution::Sorted,       InputDistribution::ReverseSorted,
+      InputDistribution::AlmostSorted, InputDistribution::AlmostReverseSorted};
+  const char *distNames[] = {"Uniform", "Gaussian", "Zero", "ZeroOne",
+                             "Sorted",  "ReverseSorted", "AlmostSorted",
+                             "AlmostReverseSorted"};
+  for (int i = 0; i < 8; i++) {
     cell<RadixSeq, K, Ps...>(name, dists[i], distNames[i]);
     cell<RadixSIMD, K, Ps...>(name, dists[i], distNames[i]);
     cell<SortMethodSTLSort, K, Ps...>(name, dists[i], distNames[i]);
+    cell<SortMethodBlacher, K, Ps...>(name, dists[i], distNames[i]);
+    cell<SortMethodBramas, K, Ps...>(name, dists[i], distNames[i]);
   }
 }
 

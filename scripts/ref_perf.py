@@ -62,12 +62,36 @@ def main():
     ap.add_argument("--n", type=int, default=1 << 18)
     ap.add_argument("--combo", default=None, choices=COMBOS)
     ap.add_argument("--out", default=os.path.join(REPO, "REF_HOST.json"))
+    ap.add_argument("--resume", action="store_true",
+                    help="skip combos already recorded in --out (the "
+                         "sweep now covers 8 dists x 5 methods and can "
+                         "outlive one watchdog window)")
     args = ap.parse_args()
 
     binary = build()
     combos = [args.combo] if args.combo else COMBOS
     cells = []
+    done = []
+    if args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        done = prev.get("done_combos", [])
+        cells = [c for c in prev.get("cells", []) if c["combo"] in done]
+
+    def write():
+        report = {"cpu": cpu_model(), "nproc": os.cpu_count(),
+                  "cxxflags": " ".join(CXXFLAGS), "source": SRC,
+                  "protocol":
+                      "perf.hpp measureTimePerElementWithRepsAndWarmup",
+                  "done_combos": done, "cells": cells}
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+            f.write("\n")
+
     for c in combos:
+        if c in done:
+            print(f"  [{c}: already done, skipping]", flush=True)
+            continue
         t0 = time.time()
         res = subprocess.run([binary, str(args.n), c], capture_output=True,
                              text=True, check=True)
@@ -79,14 +103,10 @@ def main():
                 print(f"{cell['combo']:14s} {cell['dist']:8s} "
                       f"{cell['method']:10s} {cell['ns_per_elem']:8.3f} "
                       f"ns/elem", flush=True)
+        done.append(c)
+        write()  # incremental: a killed run loses one combo at most
         print(f"  [{c}: {time.time() - t0:.1f} s]", flush=True)
 
-    report = {"cpu": cpu_model(), "nproc": os.cpu_count(),
-              "cxxflags": " ".join(CXXFLAGS), "source": SRC,
-              "protocol": "perf.hpp measureTimePerElementWithRepsAndWarmup",
-              "cells": cells}
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
     print(f"{len(cells)} cells -> {args.out}")
 
 

@@ -20,9 +20,10 @@ import json
 import os
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_DIR = "/root/reference/bachelors-thesis/data"
-REF_HOST = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "REF_HOST.json")
+REF_HOST = os.path.join(REPO, "REF_HOST.json")
+LOSING_TRACE = os.path.join(REPO, "LOSING_TRACE_r04.json")
 
 OUR_DEVICE_METHODS = ("xla", "radix", "count", "rank", "quick")
 # the reference's own algorithm rows vs vendored competitor rows
@@ -45,23 +46,43 @@ def parse(path):
 
 
 def load_ref_host():
-    """(combo, dist, n) -> RadixSIMD ns/elem measured on this host."""
+    """(combo, dist, n) -> {method: ns/elem} measured on this host
+    (RadixSeq/RadixSIMD/STLSort + the vendored Blacher/Bramas, all 8
+    distributions since round 4)."""
     try:
         with open(REF_HOST) as f:
             report = json.load(f)
     except (OSError, ValueError):
         return {}
-    return {(c["combo"], c["dist"], str(c["n"])): c["ns_per_elem"]
-            for c in report["cells"] if c["method"] == "RadixSIMD"}
+    out = {}
+    for c in report["cells"]:
+        out.setdefault((c["combo"], c["dist"], str(c["n"])), {})[
+            c["method"]] = c["ns_per_elem"]
+    return out
+
+
+def load_device_ns():
+    """(key, dist) -> best pure-device ns/elem at 2^18 from the
+    dispatch-vs-device trace (scripts/losing_trace.py)."""
+    try:
+        with open(LOSING_TRACE) as f:
+            report = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return {tuple(name.split("-", 1)): c["best_device_ns_per_elem"]
+            for name, c in report["cells"].items()}
 
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "bench_out"
     host = load_ref_host()
-    host_hdr = f" {'here:RadixSIMD':>14s} {'x':>6s}" if host else ""
+    dev_ns = load_device_ns()
+    host_hdr = (f" {'here:RadixSIMD':>14s} {'x':>6s} {'here:best':>16s}"
+                if host else "")
+    dev_hdr = f" {'dev-ns':>7s}" if dev_ns else ""
     print(f"{'workload':44s} {'ours':>7s} {'engine':>7s} "
           f"{'RadixSIMD':>10s} {'x':>6s} {'best-other':>16s} {'x':>6s}"
-          f"{host_hdr}")
+          f"{host_hdr}{dev_hdr}")
     for fname in sorted(os.listdir(out_dir)):
         if not fname.endswith(".dat") or fname.startswith(
                 ("tpe-", "digits-", "speedup-", "combined-", "thresh-",
@@ -79,9 +100,20 @@ def main():
                  else f"{key} {dist} n={num}")
 
         combo = f"{key}+{pays}" if pays else key
-        h = host.get((combo, dist, num))
+        hc = host.get((combo, dist, num), {})
+        h = hc.get("RadixSIMD")
         host_col = (f" {h:14.2f} {h / best:5.1f}x" if h is not None
                     else (f" {'—':>14s} {'—':>6s}" if host else ""))
+        if host:
+            if hc:
+                hb_m, hb = min(hc.items(), key=lambda kv: kv[1])
+                host_col += f" {hb:6.2f} ({hb_m[:9]:9s})"
+            else:
+                host_col += f" {'—':>16s}"
+        dev = dev_ns.get((key, dist)) if (not pays and num == "262144") \
+            else None
+        dev_col = ((f" {dev:7.3f}" if dev is not None else f" {'—':>7s}")
+                   if dev_ns else "")
 
         ref_rows = parse(os.path.join(REF_DIR, fname))
         r_own = ref_rows.get("RadixSIMD")
@@ -93,10 +125,10 @@ def main():
             print(f"{label:44s} {best:7.2f} {best_m:>7s} "
                   f"{r_own:10.2f} {r_own / best:5.1f}x "
                   f"{r_best:6.2f} ({r_best_m[:9]:9s}) {r_best / best:5.1f}x"
-                  f"{host_col}")
+                  f"{host_col}{dev_col}")
         else:
             print(f"{label:44s} {best:7.2f} {best_m:>7s} "
-                  f"{'—':>10s} {'—':>6s} {'—':>16s}{host_col}")
+                  f"{'—':>10s} {'—':>6s} {'—':>16s}{host_col}{dev_col}")
 
 
 if __name__ == "__main__":

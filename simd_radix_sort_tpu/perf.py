@@ -227,13 +227,21 @@ def perf_test_block(num: int, key_dtype, payload_dtypes,
     the knob that trades pass count against per-pass cost."""
     from .ops import radix
     rows = []
+    keys = D.make_keys(num, key_dtype, distribution, seed)
+    pays_h = D.make_payloads(keys, payload_dtypes, "fast")
+    # f64 crosses the device boundary as u64 bits (the X64 rewriter cannot
+    # lower f64 bitcasts on TPU) — same staging as perf_test_thresh
+    f64_bits = jax.default_backend() != "cpu"
+    key_is_f64 = f64_bits and np.dtype(key_dtype) == np.float64
+    kd = jnp.asarray(keys.view(np.uint64) if key_is_f64 else keys)
+    pays = tuple(jnp.asarray(
+        p.view(np.uint64) if f64_bits and np.dtype(p.dtype) == np.float64
+        else p) for p in pays_h)
+    reps = min(512, max(1, REPS_NUMERATOR // max(num, 1)))
     for b in digits:
-        fn = jax.jit(lambda k, ps, b=b: radix.sort_arrays(k, ps, digit_bits=b))
-        keys = D.make_keys(num, key_dtype, distribution, seed)
-        pays = tuple(jnp.asarray(p) for p in
-                     D.make_payloads(keys, payload_dtypes, "fast"))
-        kd = jnp.asarray(keys)
-        reps = min(512, max(1, REPS_NUMERATOR // max(num, 1)))
+        fn = jax.jit(lambda k, ps, b=b: radix.sort_arrays(
+            k, ps, digit_bits=b,
+            key_dtype=np.float64 if key_is_f64 else None))
         sec = _time_pipelined(fn, [(kd, pays)], reps)
         rows.append((b, f"{sec / max(num, 1) * 1e9:.4f}"))
     name = "digits-" + "-".join([common.type_name(key_dtype)]
