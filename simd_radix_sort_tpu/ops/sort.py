@@ -188,25 +188,47 @@ def sort_packed(packed, key_dtype, ascending: bool = True,
     u = transforms.sortable_from_bits(bits, key_dtype, ascending)
     kops = transforms.split64(u) if u.dtype == jnp.uint64 else (u,)
 
-    # Rows travel packed into u32 words (4 byte-columns per operand), not as
-    # per-byte u8 operands: TPU lanes are 32-bit, so byte operands waste
-    # 4x the compare-exchange bandwidth.
-    full = esize // 4
+    # Only the PAYLOAD bytes travel as data operands.  The order transform is
+    # a bijection, so the sorted key bytes are recovered from the sorted
+    # carrier by inverting it — carrying the raw key bytes through the sort
+    # as well (as through round 3) duplicated them and cost, measured on TPU,
+    # exactly the extra operand bytes: 8 u32 operands instead of 6 for the
+    # 24-byte north-star config-3 row (COMBINED_1E8_r04.json, 2.0x the
+    # [u64,u64] headline for 2.0x the operand bytes).
+    #
+    # Payload bytes travel packed into u32 words (4 byte-columns per
+    # operand), not as per-byte u8 operands: TPU lanes are 32-bit, so byte
+    # operands waste 4x the compare-exchange bandwidth.
+    ksize = key_dtype.itemsize
+    payload_cols = byte_cols[ksize:]
+    full = len(payload_cols) // 4
     word_cols = []
     for w in range(full):
-        b = byte_cols[4 * w: 4 * w + 4]
+        b = payload_cols[4 * w: 4 * w + 4]
         word_cols.append(
             b[0].astype(jnp.uint32)
             | (b[1].astype(jnp.uint32) << 8)
             | (b[2].astype(jnp.uint32) << 16)
             | (b[3].astype(jnp.uint32) << 24))
-    tail_cols = byte_cols[4 * full:]
+    tail_cols = payload_cols[4 * full:]
 
     out = jax.lax.sort(tuple(kops) + tuple(word_cols) + tuple(tail_cols),
                        num_keys=len(kops), is_stable=stable)
+    sorted_kops = out[: len(kops)]
     sorted_words = out[len(kops): len(kops) + full]
     sorted_tail = out[len(kops) + full:]
-    cols = []
+
+    # Invert the order transform on the sorted carrier to recover the key's
+    # raw little-endian byte columns (32-bit lane math only).
+    kbits = transforms.keys_from_operands(
+        sorted_kops, key_dtype, ascending, as_bits=True)
+    if ksize == 8:
+        khi, klo = transforms.split64(kbits)
+        kwords = [klo, khi]
+    else:
+        kwords = [kbits.astype(jnp.uint32)]
+    cols = [(kwords[i // 4] >> jnp.uint32(8 * (i % 4))).astype(jnp.uint8)
+            for i in range(ksize)]
     for w in sorted_words:
         for shift in (0, 8, 16, 24):
             cols.append((w >> jnp.uint32(shift)).astype(jnp.uint8))
