@@ -43,7 +43,7 @@ def _segmented_scan(vals: jax.Array, starts: jax.Array, op):
 
 def group_aggregate(keys: jax.Array, values, aggs=("sum",),
                     presorted: bool = False, method: str = "xla",
-                    agg_streams=None):
+                    agg_streams=None, max_groups: int | None = None):
     """Aggregate `values` (one array or a tuple of arrays) per distinct key.
 
     Returns (num_groups, group_keys, results) where results[agg_index] is a
@@ -55,6 +55,15 @@ def group_aggregate(keys: jax.Array, values, aggs=("sum",),
     "sum" while a validity stream gets only "max" — so no scan runs on a
     stream whose result is unused.  results[agg_index] then has one entry
     per SELECTED stream, in selection order.
+
+    `max_groups` (optional): a caller-known bound on the number of distinct
+    keys.  When set, the compaction that packs per-group results switches
+    from a global n-row stable sort to the blocked bounded form
+    (ops/filter.compact_bounded) — the dominant cost of this op at large n
+    — and outputs are padded to max_groups rows instead of n.  The bound is
+    a promise: if it is wrong, num_groups returned is still the TRUE group
+    count (callers can check num_groups <= max_groups), the first
+    max_groups groups are exact, and the rest are absent.
     """
     single = not isinstance(values, (tuple, list))
     vals = (values,) if single else tuple(values)
@@ -130,7 +139,11 @@ def group_aggregate(keys: jax.Array, values, aggs=("sum",),
             slots.append(entry)
         plans.append((agg, slots))
 
-    packed = filter_ops.compact(ends, *pending)
+    if max_groups is not None:
+        packed = filter_ops.compact_bounded(ends, *pending,
+                                            max_out=max_groups)
+    else:
+        packed = filter_ops.compact(ends, *pending)
     num_groups, group_keys = packed[0], packed[1]
     at_ends = packed[1:]
 
