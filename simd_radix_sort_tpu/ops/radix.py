@@ -88,10 +88,10 @@ def _apply_perm(dest: jax.Array, streams):
 def sort_arrays(keys: jax.Array, payloads, ascending: bool = True,
                 stable: bool = True, digit_bits: int | None = None,
                 block: int = DEFAULT_BLOCK, key_dtype=None,
-                engine: str = "sort"):
+                engine: str = "sort", interpret: bool = False):
     """LSD radix sort of keys + lock-step payload streams.  Jittable.
 
-    Two per-pass movers:
+    Three per-pass movers:
       * engine="sort" (default): each digit pass is one stable variadic
         lax.sort keyed on the digit — the only stable bulk mover that runs
         at reasonable bandwidth on TPU (random-access scatter measured
@@ -101,10 +101,20 @@ def sort_arrays(keys: jax.Array, payloads, ascending: bool = True,
         scatter formulation below — the direct semantic model of a radix
         pass (and of the reference's partition pass), kept as the
         reference implementation and for differential testing.
+      * engine="pallas": the reference's actual pass structure — a 1-bit
+        compress-store partition per pass (radix_sort.hpp:109-268), built
+        on the Pallas compress kernel (ops/pallas_partition.py), LSD over
+        the key bits.  Measured slower than one lax.sort (DESIGN_NOTES
+        round-4 addendum 2); kept as the faithful form of the reference
+        primitive.  `interpret` runs the kernel under the Pallas
+        interpreter (CPU tests).
     """
     if engine == "sort":
         return _sort_arrays_sortpass(keys, payloads, ascending,
                                      digit_bits, key_dtype)
+    if engine == "pallas":
+        return _sort_arrays_bitpart(keys, payloads, ascending, key_dtype,
+                                    interpret=interpret)
     if engine != "scatter":
         raise ValueError(f"unknown radix engine {engine!r}")
     digit_bits = digit_bits or 8
@@ -138,6 +148,41 @@ def sort_arrays(keys: jax.Array, payloads, ascending: bool = True,
         tuple(streams[: len(kops)]), key_dtype or keys.dtype, ascending,
         as_bits=key_dtype is not None)
     return keys_out, tuple(streams[len(kops):])
+
+
+def _sort_arrays_bitpart(keys, payloads, ascending, key_dtype,
+                         interpret: bool = False, part_block: int | None = None):
+    """One key bit per pass, LSB->MSB, each pass a stable Pallas
+    compress-store partition — the reference's pass structure
+    (radix_sort.hpp:109-268) with its MSB recursion flipped to LSD so every
+    shape stays static under jit."""
+    from . import pallas_partition as pp
+
+    kops = list(transforms.key_operands(keys, ascending, key_dtype))
+    word_bits = kops[0].dtype.itemsize * 8
+    kop_dtype = kops[0].dtype
+    block = part_block or pp.PART_BLOCK
+
+    streams = [k.astype(jnp.uint32) for k in kops]
+    pay_meta = []
+    for p in payloads:
+        words, meta = pp.to_words(jnp.asarray(p))
+        pay_meta.append((len(streams), meta))
+        streams.extend(words)
+
+    for word_idx, shift in _digit_passes(len(kops), word_bits, 1):
+        bit = (streams[word_idx] >> jnp.uint32(shift)) & jnp.uint32(1)
+        streams = pp.partition_pass(streams, bit == 1, block=block,
+                                    interpret=interpret)
+
+    kops_out = tuple(s.astype(kop_dtype) for s in streams[: len(kops)])
+    keys_out = transforms.keys_from_operands(
+        kops_out, key_dtype or keys.dtype, ascending,
+        as_bits=key_dtype is not None)
+    pays_out = tuple(
+        pp.from_words(streams[start:start + meta[1]], meta)
+        for start, meta in pay_meta)
+    return keys_out, pays_out
 
 
 def _sort_arrays_sortpass(keys, payloads, ascending, digit_bits, key_dtype):

@@ -30,6 +30,7 @@ import pytest  # noqa: E402
 SLOW_MODULES = {
     "test_fuzz_operators", "test_fuzz_distributed", "test_fuzz_differential",
     "test_dist_ops", "test_multihost", "test_merge_join", "test_pallas_hist",
+    "test_pallas_partition",
 }
 SLOW_TESTS = {
     "test_group_aggregate_all_aggs",
