@@ -70,8 +70,13 @@ def main():
     def run(engine):
         f = jax.jit(lambda k, p: radix.sort_arrays(k, (p,), engine=engine))
         k_out, (p_out,) = f(keys, pay)
-        ok = bool(jnp.all(k_out[1:] >= k_out[:-1]))
-        assert ok, f"{engine}: output not sorted"
+        # validate against the stable oracle (keys AND payload co-movement
+        # AND stability), same standard as the single-pass check above
+        order = np.argsort(np.asarray(keys), kind="stable")
+        assert np.array_equal(np.asarray(k_out), np.asarray(keys)[order]), \
+            f"{engine}: keys do not match the stable oracle"
+        assert np.array_equal(np.asarray(p_out), np.asarray(pay)[order]), \
+            f"{engine}: payload does not match the stable oracle"
         return benchlib.timeit(f, (keys, pay), reps=args.reps)
 
     t_pallas = run("pallas")

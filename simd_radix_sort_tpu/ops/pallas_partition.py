@@ -132,6 +132,10 @@ def _run_sources(lc, vc, block: int, n: int):
                      nb - 1)
     src_r = br * block + lc[br] + (j2 - (inc_r[br] - rc[br]))
 
+    # NOTE: the unselected branch's index (src_l past the left total /
+    # src_r before it) can evaluate out of range (up to n_pad) — safe only
+    # because the where picks INDICES before any jnp.take; a refactor that
+    # gathers both branches first would silently clip/fill those rows.
     return jnp.where(j < total_left, src_l, src_r)
 
 

@@ -113,6 +113,12 @@ def sort_arrays(keys: jax.Array, payloads, ascending: bool = True,
         return _sort_arrays_sortpass(keys, payloads, ascending,
                                      digit_bits, key_dtype)
     if engine == "pallas":
+        # the bit-LSD engine has no digit width (always 1 bit/pass): a
+        # caller passing digit_bits=8 would silently get 1-bit passes
+        if digit_bits is not None:
+            raise ValueError("engine='pallas' sorts 1 bit per pass; "
+                             "digit_bits does not apply (use engine='sort' "
+                             "or 'scatter' for multi-bit digits)")
         return _sort_arrays_bitpart(keys, payloads, ascending, key_dtype,
                                     interpret=interpret)
     if engine != "scatter":
