@@ -205,18 +205,21 @@ def main():
         args.out = os.path.join(
             REPO, "GOLDEN_sample.json" if args.sample
             else "GOLDEN_LARGE_r03.json" if args.large
-            else "GOLDEN_REFN_r04.json" if args.ref_n
+            else "GOLDEN_REFN_r05.json" if args.ref_n
             else "GOLDEN_r03.json")
 
     all_dists = list(D.Distribution)
     pshape_by_key = None
     if args.ref_n:
-        # VERDICT r03 item 6: golden A/B at the perf harness's n = 2^18
-        # for the headline combos (int32, int32+int32, float+int32,
-        # double+double, uint8, uint64+uint64), both arms, asc+desc
-        key_names = ["int32", "float32", "float64", "uint8", "uint64"]
+        # VERDICT r03 item 6 + r04 item 9: golden A/B at the perf
+        # harness's n = 2^18 (perf.hpp:65-89) for ALL 10 key types
+        # (test.cpp:156-168) — headline payload shapes on the headline
+        # combos, keys-only + one payload on the rest
+        key_names = list(KEY_DTYPES)
         pshape_by_key = {"int32": [0, 3], "float32": [3],
-                         "float64": [4, 6], "uint8": [0], "uint64": [6]}
+                         "float64": [4, 6], "uint8": [0], "uint64": [6],
+                         "int8": [0, 1], "int16": [0, 2], "uint16": [0, 2],
+                         "uint32": [0, 3], "int64": [0, 6]}
         pshape_ids = None
         dists = [D.Distribution.UNIFORM, D.Distribution.ZERO_ONE]
         ns = (1 << 18,)
