@@ -119,7 +119,7 @@ def main():
         timeit(noop, [u8], reps=args.reps, warmup=2) * 1e6, 1)
 
     out_path = os.path.join(os.path.dirname(__file__), "..",
-                            "LOSING_TRACE_r04.json")
+                            "LOSING_TRACE_r05.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
         f.write("\n")

@@ -69,6 +69,32 @@ QUICK_METHODS = ["quick", "quickseq", "xla", "torch"]
 QUICK_COMBOS = [(np.int32, ()), (np.int32, (np.int32,)),
                 (np.float64, (np.float64,))]
 
+# round-5 tpe-breadth tier: the reference's 8 published tpe type combos
+# (src/perf.hpp:368-416; bachelors-thesis/data/tpe-*.dat) at the three
+# distributions that anchor the crossover claims.  Engines per combo:
+# xla (the shipped winner) everywhere, count where it applies (the
+# count-vs-xla crossover), quick where its compiles are already cached,
+# and the native cpp baseline (no device compile cost).
+TPE_BREADTH = [
+    ((np.int32, ()), ["xla", "count", "quick", "cpp"]),
+    ((np.int32, (np.int32,)), ["xla", "quick", "cpp"]),
+    ((np.int64, ()), ["xla", "cpp"]),
+    ((np.int64, (np.int64,)), ["xla", "cpp"]),
+    ((np.float32, ()), ["xla", "cpp"]),
+    ((np.float32, (np.int32,)), ["xla", "cpp"]),
+    ((np.float64, ()), ["xla", "cpp"]),
+    ((np.float64, (np.int64,)), ["xla", "cpp"]),
+]
+TPE_BREADTH_DISTS = [D.Distribution.UNIFORM, D.Distribution.SORTED,
+                     D.Distribution.ZERO]
+
+# round-5 packed-path engine tables (sort_packed through the facade)
+PACKED_COMBOS = [
+    (np.int32, (np.int32,)),            # 8-byte rows: packing wins
+    (np.uint64, (np.uint64,)),          # 16-byte rows: the headline shape
+    (np.uint64, (np.uint64, np.uint64)),  # 24-byte rows: config 3
+]
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -76,6 +102,18 @@ def main():
     ap.add_argument("--n", type=int, default=1 << 18)  # reference n = 2^18
     ap.add_argument("--resume", action="store_true",
                     help="skip tables whose .dat already exists")
+    ap.add_argument("--int8", action="store_true",
+                    help="round-5 tier: int8 x all 8 distributions at the "
+                         "reference n (the one published type combo with "
+                         "no our-side cells through round 4)")
+    ap.add_argument("--tpe-breadth", action="store_true",
+                    help="round-5 tier: tpe scaling sweeps for the "
+                         "reference's 8 published tpe combos x "
+                         "{Uniform,Sorted,Zero}, n=2^10..2^22, plus 1e8 "
+                         "anchor cells (device-gate validated)")
+    ap.add_argument("--packed", action="store_true",
+                    help="round-5 tier: combined-layout engine tables "
+                         "(sort_packed through the method facade)")
     args = ap.parse_args()
 
     combos = TYPE_COMBOS if args.full else TYPE_COMBOS[:4]
@@ -83,6 +121,58 @@ def main():
 
     def done(name):
         return args.resume and os.path.exists(os.path.join(perf.OUT_DIR, name))
+
+    if args.int8 or args.tpe_breadth or args.packed:
+        if args.int8:
+            for dist in DISTS + DISTS_SORTED:
+                name = perf.table_name(np.int8, (), dist, args.n)
+                if done(name):
+                    print("skip", name, flush=True)
+                    continue
+                path = perf.perf_test(METHODS, args.n, np.int8, (), dist,
+                                      reps=None, warmups=1)
+                print("wrote", path, flush=True)
+        if args.tpe_breadth:
+            for (k, ps), meths in TPE_BREADTH:
+                base = "-".join([perf.common.type_name(k)]
+                                + [perf.common.type_name(p) for p in ps])
+                for dist in TPE_BREADTH_DISTS:
+                    nm = f"tpe-{base}-{dist.value}.dat"
+                    if done(nm):
+                        print("skip", nm, flush=True)
+                        continue
+                    path = perf.perf_test_num(meths, k, ps, dist,
+                                              min_num=1 << 10,
+                                              max_num=1 << 22,
+                                              reps=None, warmups=1)
+                    print("wrote", path, flush=True)
+                # 1e8 anchor cell (device-gate validated: pulling the
+                # output through the tunnel would dwarf the measurement)
+                nm = f"tpe-anchor-{base}-Uniform-100000000.dat"
+                if done(nm):
+                    print("skip", nm, flush=True)
+                    continue
+                anchor_meths = [m for m in meths if m not in ("cpp",)]
+                path = perf.perf_test(anchor_meths, 10**8, k, ps,
+                                      D.Distribution.UNIFORM, out_name=nm,
+                                      reps=3, warmups=1, validate="device")
+                print("wrote", path, flush=True)
+        if args.packed:
+            for k, ps in PACKED_COMBOS:
+                for num in (args.n, 10**8):
+                    base = "-".join(
+                        [perf.common.type_name(k)]
+                        + [perf.common.type_name(p) for p in ps])
+                    nm = f"packed-{base}-Uniform-{num}.dat"
+                    if done(nm):
+                        print("skip", nm, flush=True)
+                        continue
+                    path = perf.perf_test_packed(
+                        num, k, ps, methods=("xla", "radix", "quick"),
+                        reps=3 if num >= 10**8 else None,
+                        validate=num < 10**8)
+                    print("wrote", path, flush=True)
+        return
 
     # ---- per-distribution method tables (perf-thesis.cpp:120-222) -------
     for k, ps in combos:

@@ -51,7 +51,8 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "bench_out")
 
 
-def run_once(n_global: int, p: int, reps: int) -> float:
+def run_once(n_global: int, p: int, reps: int,
+             final_mode: str = "sort", segments: int = 8) -> float:
     """Best-of-reps seconds for distributed_sort_sharded at P devices."""
     devs = jax.devices()[:p]
     mesh = Mesh(np.array(devs), ("x",))
@@ -62,7 +63,8 @@ def run_once(n_global: int, p: int, reps: int) -> float:
     kd = jax.device_put(jnp.asarray(keys), sharding)
     pd = jax.device_put(jnp.asarray(pays), sharding)
     fn = jax.jit(functools.partial(dist_sort.distributed_sort_sharded,
-                                   mesh=mesh))
+                                   mesh=mesh, final_mode=final_mode,
+                                   segments_per_device=segments))
     out = fn(kd, (pd,))
     jax.block_until_ready(out)  # warmup/compile
     # correctness every run (the reference's perf harness re-validates
@@ -89,37 +91,51 @@ def main():
     ap.add_argument("--n-weak", type=int, default=1 << 19,
                     help="rows per device for weak scaling")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--final-mode", default="sort",
+                    choices=("sort", "blocked"),
+                    help="final-pass variant (round-5: 'blocked' = "
+                         "segment-aligned exchange + batched block sort)")
+    ap.add_argument("--segments", type=int, default=8)
     args = ap.parse_args()
 
+    suffix = "" if args.final_mode == "sort" else "-blocked"
+    kw = dict(final_mode=args.final_mode, segments=args.segments)
+    mkw = dict(final_mode=args.final_mode)
+
     ps = (1, 2, 4, 8)
-    strong = {p: run_once(args.n, p, args.reps) for p in ps}
-    weak = {p: run_once(args.n_weak * p, p, args.reps) for p in ps}
+    strong = {p: run_once(args.n, p, args.reps, **kw) for p in ps}
+    weak = {p: run_once(args.n_weak * p, p, args.reps, **kw) for p in ps}
 
     os.makedirs(OUT_DIR, exist_ok=True)
-    with open(os.path.join(OUT_DIR, "scaling-strong-u64-u64.dat"), "w") as f:
+    with open(os.path.join(OUT_DIR,
+                           f"scaling-strong-u64-u64{suffix}.dat"), "w") as f:
         f.write("num_devices seconds work_inflation model_work_inflation\n")
         for p in ps:
-            m = (scaling.distributed_sort_phases(args.n, p).total_s * p
-                 / scaling.distributed_sort_phases(args.n, 1).total_s)
+            m = (scaling.distributed_sort_phases(args.n, p, **mkw).total_s
+                 * p
+                 / scaling.distributed_sort_phases(args.n, 1, **mkw).total_s)
             f.write(f"{p} {strong[p]:.4f} {strong[p] / strong[1]:.3f} "
                     f"{m:.3f}\n")
-    with open(os.path.join(OUT_DIR, "scaling-weak-u64-u64.dat"), "w") as f:
+    with open(os.path.join(OUT_DIR,
+                           f"scaling-weak-u64-u64{suffix}.dat"), "w") as f:
         f.write("num_devices seconds work_inflation model_work_inflation\n")
         for p in ps:
-            m = (scaling.distributed_sort_phases(args.n_weak * p, p).total_s
-                 * p
-                 / scaling.distributed_sort_phases(args.n_weak, 1).total_s)
+            m = (scaling.distributed_sort_phases(args.n_weak * p, p,
+                                                 **mkw).total_s * p
+                 / scaling.distributed_sort_phases(args.n_weak, 1,
+                                                   **mkw).total_s)
             f.write(f"{p} {weak[p]:.4f} {weak[p] / weak[1]:.3f} {m:.3f}\n")
 
     # model comparison uses COMPUTE terms only: on the one-core virtual
     # mesh measured time ~ sum over devices of (local sort + final padded
     # sort); comm is emulation artifact, excluded from the model side
     def model_work(n_global, p):
-        ph = scaling.distributed_sort_phases(n_global, p)
+        ph = scaling.distributed_sort_phases(n_global, p, **mkw)
         return (ph.local_sort_s + ph.final_sort_s) * p
 
     print(json.dumps({
-        "metric": "virtual-mesh distributed_sort work-inflation W(P)=T(P)/T(1)",
+        "metric": ("virtual-mesh distributed_sort work-inflation "
+                   f"W(P)=T(P)/T(1), final_mode={args.final_mode}"),
         "caveat": ("P CPU devices time-slice ONE physical core; wall time "
                    "= total work, NOT speedup. Dense-emulation exchange "
                    "overstates exchange work vs the TPU ragged path."),

@@ -182,6 +182,39 @@ def sort_keys(keys: jax.Array, ascending: bool = True, key_dtype=None):
     # DESIGN_NOTES.md.  2-byte keys use the adaptive path below.
     if dtype.itemsize == 1:
         out = counting_sort_carrier(u, 256, 0)
+    elif _use_pallas():
+        from . import pallas_hist
+        # The tiny-range path (Zero/ZeroOne/small enums) is ONE kernel
+        # launch (pallas_hist.tiny_sort16): a two-phase sequential grid
+        # streams the data once for (min, max, residue histogram), then
+        # paints the sorted output — replacing the three separate launches
+        # of rounds 1-4 (min/max pass, histogram pass, run fill) whose
+        # per-launch overhead dominated the 1 MB working set at n=2^18
+        # (LOSING_TRACE_r04).  This is the TPU analogue of BlacherSort's
+        # near-free constant-input partition
+        # (/root/reference/blacher/avx2sort.h): degenerate inputs cost two
+        # streaming passes in one launch, full stop.
+        assert K_TINY_RANGE == 16  # the kernel's residue width
+        u32 = u.astype(jnp.uint32)
+        sorted32, mn, mx = pallas_hist.tiny_sort16(u32)
+        rng = mx - mn  # uint32, >= 0
+
+        def tiny(_):
+            return sorted32.astype(u.dtype)
+
+        def small(_):
+            return counting_sort_carrier(u, K_MAX_RANGE, mn.astype(u.dtype))
+
+        def big(_):
+            return jax.lax.sort((u,), num_keys=1)[0]
+
+        # n is static: the K_MAX_RANGE branch only exists in the program
+        # when the row count is large enough for flat-cost counting to
+        # beat the comparison sort (see SMALL_MIN_N)
+        wide = (lambda _: jax.lax.cond(rng < jnp.uint32(K_MAX_RANGE),
+                                       small, big, None)) \
+            if keys.shape[0] >= SMALL_MIN_N else big
+        out = jax.lax.cond(rng < jnp.uint32(K_TINY_RANGE), tiny, wide, None)
     else:
         lo = jnp.min(u)
         rng = jnp.max(u) - lo  # unsigned, >= 0
@@ -199,9 +232,7 @@ def sort_keys(keys: jax.Array, ascending: bool = True, key_dtype=None):
             return jax.lax.sort((u,), num_keys=1)[0]
 
         r32 = rng.astype(jnp.uint32)
-        # n is static: the K_MAX_RANGE branch only exists in the program
-        # when the row count is large enough for flat-cost counting to
-        # beat the comparison sort (see SMALL_MIN_N)
+        # n is static (see the TPU branch above)
         wide = (lambda _: jax.lax.cond(r32 < jnp.uint32(K_MAX_RANGE),
                                        small, big, None)) \
             if keys.shape[0] >= SMALL_MIN_N else big

@@ -83,6 +83,242 @@ def histogram(offsets: jax.Array, k: int, interpret: bool = False) -> jax.Array:
     return jnp.sum(out, axis=1, dtype=jnp.int32)
 
 
+_I32_MAX = np.int32(0x7FFFFFFF)
+_I32_MIN = np.int32(-0x80000000)
+
+
+def _minmax_hist16_kernel(n, x_ref, hist_ref, mm_ref, acc_ref, mn_ref,
+                          mx_ref):
+    """One streaming pass producing BOTH the (min, max) of the carrier and
+    its 16-residue histogram (hist_mod[b] = #{i < n : x_i & 15 == b}).
+
+    `x` is the unsigned carrier sign-flipped into the int32 domain
+    (u ^ 0x80000000 bit-cast to i32): int32 min/max then order exactly like
+    unsigned min/max of u, while `x & 15` still equals `u & 15` (the flip
+    touches only bit 31).  When the carrier's range is < 16, the true
+    histogram is a rotation of hist_mod by (min & 15) — so min/max and the
+    histogram need only THIS single pass, not one pass each (the fusion of
+    round-4 VERDICT item "fuse the tiny-range counting path")."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        mn_ref[:] = jnp.full_like(mn_ref, _I32_MAX)
+        mx_ref[:] = jnp.full_like(mx_ref, _I32_MIN)
+
+    x = x_ref[:]                                    # (rows, 128) int32
+    rows = x.shape[0]
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+           + i * rows * 128)
+    valid = idx < n
+    mn_ref[:] = jnp.minimum(
+        mn_ref[:], jnp.min(jnp.where(valid, x, _I32_MAX), axis=0,
+                           keepdims=True))
+    mx_ref[:] = jnp.maximum(
+        mx_ref[:], jnp.max(jnp.where(valid, x, _I32_MIN), axis=0,
+                           keepdims=True))
+    low = x & 15
+    hist_rows = [jnp.sum(((low == b) & valid).astype(jnp.int32), axis=0,
+                         dtype=jnp.int32) for b in range(16)]
+    acc_ref[:] = acc_ref[:] + jnp.stack(hist_rows, axis=0)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        hist_ref[:] = acc_ref[:]
+        mm_ref[:] = jnp.concatenate([mn_ref[:], mx_ref[:]], axis=0)
+
+
+def minmax_hist16(u32: jax.Array, interpret: bool = False):
+    """Fused (min, max, 16-residue histogram) of an unsigned uint32 carrier
+    in ONE streaming pass.  Returns (min_u32, max_u32, hist_mod) where
+    hist_mod[b] = #{i : u_i & 15 == b} (int32, (16,)).  The tiny-range
+    counting sort recovers the true histogram as
+    hist[j] = hist_mod[(min + j) & 15] whenever max - min < 16."""
+    n = u32.shape[0]
+    if n == 0:
+        return (jnp.uint32(0), jnp.uint32(0), jnp.zeros(16, jnp.int32))
+    # sign-flip into int32: Mosaic's int min/max are signed; unsigned order
+    # of u equals signed order of (u ^ 0x80000000)
+    x = jax.lax.bitcast_convert_type(
+        u32 ^ jnp.uint32(0x80000000), jnp.int32)
+    block = HIST_BLOCK_ROWS * 128
+    pad = (-n) % block
+    x = jnp.pad(x, (0, pad)).reshape(-1, 128)
+    grid = x.shape[0] // HIST_BLOCK_ROWS
+    with jax.enable_x64(False):  # see histogram()
+        hist, mm = pl.pallas_call(
+            functools.partial(_minmax_hist16_kernel, n),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((HIST_BLOCK_ROWS, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec((16, 128), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((2, 128), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((16, 128), jnp.int32),
+                       jax.ShapeDtypeStruct((2, 128), jnp.int32)),
+            scratch_shapes=[pltpu.VMEM((16, 128), jnp.int32),
+                            pltpu.VMEM((1, 128), jnp.int32),
+                            pltpu.VMEM((1, 128), jnp.int32)],
+            interpret=interpret,
+        )(x)
+    mn = jax.lax.bitcast_convert_type(
+        jnp.min(mm[0]), jnp.uint32) ^ jnp.uint32(0x80000000)
+    mx = jax.lax.bitcast_convert_type(
+        jnp.max(mm[1]), jnp.uint32) ^ jnp.uint32(0x80000000)
+    return mn, mx, jnp.sum(hist, axis=1, dtype=jnp.int32)
+
+
+TINY_BLOCK_ROWS = 2048  # rows of 128 lanes per tiny-sort grid step
+
+
+def _tiny_sort_kernel(n, nb, x_ref, out_ref, mm_ref, acc_ref, mn_ref,
+                      mx_ref, cum_ref, base_ref):
+    """Whole tiny-range counting sort in ONE kernel launch: grid steps
+    [0, nb) stream the input accumulating (min, max, 16-residue histogram);
+    step nb finalizes the stats (rotation by min & 15 -> true counts ->
+    cumulative boundaries into SMEM); steps [nb, 2*nb) paint the sorted
+    output block by block (the _fill_kernel painting, k=16).  TPU grids
+    execute sequentially, so phase 2 sees phase 1's completed scratch —
+    the per-launch overhead that dominated the 3-launch (round<=4) and
+    2-launch (minmax_hist16 + fill) schedules at n=2^18 is paid once.
+
+    Domain: `x` is the unsigned carrier sign-flipped into int32 (see
+    minmax_hist16); the output is written in raw u32-bit int32 and bitcast
+    outside.  If the carrier's range is >= 16 the painted output is
+    garbage — callers must gate on (max - min) < 16, which this kernel's
+    own mm output provides."""
+    i = pl.program_id(0)
+    blk = TINY_BLOCK_ROWS * 128
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        mn_ref[:] = jnp.full_like(mn_ref, _I32_MAX)
+        mx_ref[:] = jnp.full_like(mx_ref, _I32_MIN)
+
+    @pl.when(i < nb)
+    def _():
+        # the sign-flip into the signed-comparison domain happens HERE, on
+        # data already in VMEM — a host-side pre-flip would materialize one
+        # extra 1 MB elementwise pass that XLA cannot fuse into the
+        # custom call
+        x = x_ref[:] ^ jnp.int32(_I32_MIN)
+        idx = (jax.lax.broadcasted_iota(jnp.int32, (TINY_BLOCK_ROWS, 128), 0)
+               * 128
+               + jax.lax.broadcasted_iota(jnp.int32, (TINY_BLOCK_ROWS, 128),
+                                          1)
+               + i * blk)
+        valid = idx < n
+        mn_ref[:] = jnp.minimum(
+            mn_ref[:], jnp.min(jnp.where(valid, x, _I32_MAX), axis=0,
+                               keepdims=True))
+        mx_ref[:] = jnp.maximum(
+            mx_ref[:], jnp.max(jnp.where(valid, x, _I32_MIN), axis=0,
+                               keepdims=True))
+        low = x & 15
+        rows = [jnp.sum(((low == b) & valid).astype(jnp.int32), axis=0,
+                        dtype=jnp.int32) for b in range(16)]
+        acc_ref[:] = acc_ref[:] + jnp.stack(rows, axis=0)
+
+    @pl.when(i == nb)
+    def _():
+        mnv = jnp.min(mn_ref[:])          # flipped-domain scalars
+        mxv = jnp.max(mx_ref[:])
+        flip = jnp.int32(_I32_MIN)        # 0x80000000 as int32
+        base = mnv ^ flip                 # u-domain bits of the min
+        base_ref[0] = base
+        mm_ref[:] = jnp.concatenate(
+            [jnp.full((1, 128), base, jnp.int32),
+             jnp.full((1, 128), mxv ^ flip, jnp.int32)], axis=0)
+        hist_tot = jnp.sum(acc_ref[:], axis=1)  # (16,)
+        # true counts: counts[j] = hist_tot[(min + j) & 15] via one-hot
+        # (dynamic gathers on a 16-vector do not lower; 16x16 is cheap)
+        j = jnp.arange(16, dtype=jnp.int32)
+        rot = (base + j) & 15
+        counts = jnp.sum(
+            jnp.where(rot[:, None] == j[None, :], hist_tot[None, :], 0),
+            axis=1, dtype=jnp.int32)
+        cum_ref[0] = jnp.int32(0)
+        c = jnp.int32(0)
+        for b in range(16):
+            c = c + counts[b]
+            cum_ref[b + 1] = c
+
+    @pl.when(i >= nb)
+    def _():
+        block_start = (i - nb) * blk
+        idx = (jax.lax.broadcasted_iota(jnp.int32, (TINY_BLOCK_ROWS, 128), 0)
+               * 128
+               + jax.lax.broadcasted_iota(jnp.int32, (TINY_BLOCK_ROWS, 128),
+                                          1)
+               + block_start)
+        v0 = jnp.int32(0)
+        for b in range(16):  # start bucket: #{b : cum[b+1] <= block_start}
+            v0 = v0 + (cum_ref[b + 1] <= block_start).astype(jnp.int32)
+        v0 = jnp.minimum(v0, 15)
+
+        def paint(state):
+            v, out = state
+            out = jnp.where(idx >= cum_ref[v + 1], out + 1, out)
+            return v + 1, out
+
+        def keep_going(state):
+            v, _ = state
+            return jnp.logical_and(v + 1 < 16,
+                                   cum_ref[v + 1] < block_start + blk)
+
+        init = jnp.full((TINY_BLOCK_ROWS, 128), v0, jnp.int32)
+        _, vals = jax.lax.while_loop(keep_going, paint, (v0, init))
+        out_ref[:] = vals + base_ref[0]
+
+
+def tiny_sort16(u32: jax.Array, interpret: bool = False):
+    """One-launch tiny-range counting sort of a uint32 carrier.  Returns
+    (sorted, min, max): `sorted` is valid ONLY when max - min < 16 (the
+    tiny-range contract — Zero / ZeroOne / small enums); min and max are
+    always exact, so the caller's `lax.cond` gates on them.  2 streaming
+    passes (read + write) in one kernel launch."""
+    n = u32.shape[0]
+    if n == 0:
+        return u32, jnp.uint32(0), jnp.uint32(0)
+    # raw bits only — the sign-flip happens inside the kernel (in VMEM)
+    x = jax.lax.bitcast_convert_type(u32, jnp.int32)
+    blk = TINY_BLOCK_ROWS * 128
+    pad = (-n) % blk
+    x = jnp.pad(x, (0, pad)).reshape(-1, 128)
+    nb = x.shape[0] // TINY_BLOCK_ROWS
+    with jax.enable_x64(False):  # see histogram()
+        out, mm = pl.pallas_call(
+            functools.partial(_tiny_sort_kernel, n, nb),
+            grid=(2 * nb,),
+            in_specs=[pl.BlockSpec(
+                (TINY_BLOCK_ROWS, 128),
+                lambda i: (jnp.minimum(i, nb - 1), 0),
+                memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec(
+                (TINY_BLOCK_ROWS, 128),
+                lambda i: (jnp.maximum(i - nb, 0), 0),
+                memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct(x.shape, jnp.int32),
+                       jax.ShapeDtypeStruct((2, 128), jnp.int32)),
+            scratch_shapes=[pltpu.VMEM((16, 128), jnp.int32),
+                            pltpu.VMEM((1, 128), jnp.int32),
+                            pltpu.VMEM((1, 128), jnp.int32),
+                            pltpu.SMEM((17,), jnp.int32),
+                            pltpu.SMEM((1,), jnp.int32)],
+            interpret=interpret,
+        )(x)
+    sorted_u = jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(-1)[:n]
+    mn = jax.lax.bitcast_convert_type(mm[0, 0], jnp.uint32)
+    mx = jax.lax.bitcast_convert_type(mm[1, 0], jnp.uint32)
+    return sorted_u, mn, mx
+
+
 FILL_BLOCK = 1 << 17  # output elements per fill grid step
 
 

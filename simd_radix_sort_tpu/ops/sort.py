@@ -163,13 +163,30 @@ def _key_from_byte_columns(byte_cols, key_dtype):
 
 
 def sort_packed(packed, key_dtype, ascending: bool = True,
-                stable: bool = False):
+                stable: bool = False, method: str | None = None,
+                block_threshold: int | None = None,
+                digit_bits: int | None = None, config=None):
     """Sort an (n, element_size) uint8 combined-layout matrix by the key in
     each row's leading bytes.  Jittable; equivalent of
     radix_sort::sort(num, DataElement<K,Ps...>*) (src/radix_sort.hpp:314-332).
 
     Unlike the reference there is no power-of-two element-size restriction.
+
+    Routes through the same method facade as `sort()` (round-5: packed rows
+    previously hardcoded the variadic-lax.sort path): `method`/`config`
+    select the engine exactly like `sort(method=...)`, with the packed
+    payload words acting as the payload streams.  Device engines keep this
+    jittable; host engines (seq/torch/cpp/quickseq) work outside jit only.
     """
+    from .. import methods  # local import to avoid cycle
+    from ..config import SortConfig
+
+    cfg = config if config is not None else SortConfig()
+    method = cfg.method if method is None else method
+    block_threshold = (cfg.block_threshold if block_threshold is None
+                       else block_threshold)
+    digit_bits = cfg.digit_bits if digit_bits is None else digit_bits
+
     key_dtype = np.dtype(key_dtype)
     packed = jnp.asarray(packed, dtype=jnp.uint8)
     n, esize = packed.shape
@@ -179,19 +196,26 @@ def sort_packed(packed, key_dtype, ascending: bool = True,
     byte_cols = [packed[:, i] for i in range(esize)]
     words = _key_from_byte_columns(byte_cols[: key_dtype.itemsize], key_dtype)
 
-    # Build the unsigned ordering carrier from the words, then apply the
-    # order-preserving transform directly in the bit domain.
+    # Raw key bits (unsigned, little-endian) from the leading bytes.
     if key_dtype.itemsize == 8:
         bits = transforms.merge64(words[1], words[0])
     else:
         bits = words[0].astype(common.unsigned_of(key_dtype))
-    u = transforms.sortable_from_bits(bits, key_dtype, ascending)
-    kops = transforms.split64(u) if u.dtype == jnp.uint64 else (u,)
+    # f64 keys follow the lossy-f64 protocol (see sort()): the engine sees
+    # u64 bits + key_dtype marker instead of a device float64 array.
+    lossy_f64 = key_dtype == np.float64 and jax.default_backend() != "cpu"
+    if lossy_f64:
+        keys_arr, kmark = bits, np.dtype(np.float64)
+    elif key_dtype.kind == "u":
+        keys_arr, kmark = bits, None
+    else:
+        keys_arr = jax.lax.bitcast_convert_type(bits, key_dtype)
+        kmark = None
 
     # Only the PAYLOAD bytes travel as data operands.  The order transform is
     # a bijection, so the sorted key bytes are recovered from the sorted
-    # carrier by inverting it — carrying the raw key bytes through the sort
-    # as well (as through round 3) duplicated them and cost, measured on TPU,
+    # keys post-sort — carrying the raw key bytes through the sort as well
+    # (as through round 3) duplicated them and cost, measured on TPU,
     # exactly the extra operand bytes: 8 u32 operands instead of 6 for the
     # 24-byte north-star config-3 row (COMBINED_1E8_r04.json, 2.0x the
     # [u64,u64] headline for 2.0x the operand bytes).
@@ -211,17 +235,21 @@ def sort_packed(packed, key_dtype, ascending: bool = True,
             | (b[2].astype(jnp.uint32) << 16)
             | (b[3].astype(jnp.uint32) << 24))
     tail_cols = payload_cols[4 * full:]
+    pseudo_pl = tuple(word_cols) + tuple(tail_cols)
 
-    out = jax.lax.sort(tuple(kops) + tuple(word_cols) + tuple(tail_cols),
-                       num_keys=len(kops), is_stable=stable)
-    sorted_kops = out[: len(kops)]
-    sorted_words = out[len(kops): len(kops) + full]
-    sorted_tail = out[len(kops) + full:]
+    m = methods.resolve(method, kmark or key_dtype,
+                        tuple(p.dtype for p in pseudo_pl), n)
+    keys_out, pays_out = m.run(
+        keys_arr, pseudo_pl, ascending=ascending, stable=stable,
+        block_threshold=block_threshold, digit_bits=digit_bits,
+        key_dtype=kmark)
 
-    # Invert the order transform on the sorted carrier to recover the key's
-    # raw little-endian byte columns (32-bit lane math only).
-    kbits = transforms.keys_from_operands(
-        sorted_kops, key_dtype, ascending, as_bits=True)
+    # Sorted key bytes back from the sorted keys (32-bit lane math only).
+    if kmark is not None or key_dtype.kind == "u":
+        kbits = jnp.asarray(keys_out)  # already raw unsigned bits
+    else:
+        kbits = jax.lax.bitcast_convert_type(
+            jnp.asarray(keys_out), common.unsigned_of(key_dtype))
     if ksize == 8:
         khi, klo = transforms.split64(kbits)
         kwords = [klo, khi]
@@ -229,10 +257,13 @@ def sort_packed(packed, key_dtype, ascending: bool = True,
         kwords = [kbits.astype(jnp.uint32)]
     cols = [(kwords[i // 4] >> jnp.uint32(8 * (i % 4))).astype(jnp.uint8)
             for i in range(ksize)]
+    sorted_words = pays_out[:full]
+    sorted_tail = pays_out[full:]
     for w in sorted_words:
+        w = jnp.asarray(w)
         for shift in (0, 8, 16, 24):
             cols.append((w >> jnp.uint32(shift)).astype(jnp.uint8))
-    cols.extend(sorted_tail)
+    cols.extend(jnp.asarray(t) for t in sorted_tail)
     return jnp.stack(cols, axis=1)
 
 

@@ -103,8 +103,6 @@ def exchange_by_bounds(streams, bounds, axis: str, cap_recv: int,
     ragged thunk (XLA:CPU) use a dense all_gather emulation with the same
     math.  Must be called inside shard_map over `axis`.
     """
-    my = jax.lax.axis_index(axis)
-    num_p = jax.lax.axis_size(axis)
     n_local = streams[0].shape[0]
     if n_local == 0:
         # static-shape SPMD: every device sees the same (empty) shard, so
@@ -119,7 +117,25 @@ def exchange_by_bounds(streams, bounds, axis: str, cap_recv: int,
     bounds = jnp.minimum(bounds, end_last)
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), bounds])
     ends = jnp.concatenate([bounds, end_last[None]])
-    lens = ends - starts  # send_sizes (P,)
+    return exchange_by_runs(streams, starts, ends - starts, axis, cap_recv,
+                            use_ragged)
+
+
+def exchange_by_runs(streams, starts, lens, axis: str, cap_recv: int,
+                     use_ragged: bool):
+    """Generalized bucketed all-to-all: the run
+    [starts[p], starts[p] + lens[p]) of every device's streams is delivered
+    to device p, packed source-major into a cap_recv-row buffer per stream.
+    Unlike `exchange_by_bounds`, the per-destination runs need not be
+    adjacent — the blocked final mode exchanges one key segment at a time,
+    whose runs have gaps (the other segments) between them.  Runs must be
+    disjoint and in destination order.  Must be called inside shard_map."""
+    my = jax.lax.axis_index(axis)
+    num_p = jax.lax.axis_size(axis)
+    n_local = streams[0].shape[0]
+    if n_local == 0:
+        return ([jnp.zeros((cap_recv,), s.dtype) for s in streams],
+                jnp.int32(0), jnp.zeros((), jnp.int32))
 
     L = jax.lax.all_gather(lens, axis)          # L[src, dst]
     total_raw = jnp.sum(L[:, my])
@@ -364,11 +380,79 @@ def splitter_sort_core(kops, pl_ops, axis: str, num_p: int, cap_recv: int,
             total_recv.astype(jnp.int32), overflow)
 
 
+def splitter_sort_blocked_core(kops, pl_ops, axis: str, num_p: int,
+                               cap_seg: int, samples_per_shard: int,
+                               use_ragged: bool, segments: int):
+    """Blocked-final variant of `splitter_sort_core`: instead of one
+    capacity-padded receive buffer finished by a FULL second sort (the
+    dominant modeled cost, models/scaling.py), the key domain is cut into
+    `num_p * segments` global ranges by finer splitters; each device
+    receives its `segments` ranges into segment-aligned sub-buffers
+    (`segments` ragged exchanges of one run each) and finishes with ONE
+    batched (segments, cap_seg) row sort — the shape that measures
+    919-1268 Melem/s on this chip vs ~148 for the full sort
+    (BENCH_NOTES.md "Why the engine choices").
+
+    Returns (kops_final, pays_final, counts, overflow) where every stream
+    is (segments * cap_seg,) segment-major (valid prefix per segment) and
+    counts is (segments,) — `gather_result` consumes this unchanged by
+    treating each segment as one more buffer."""
+    my = jax.lax.axis_index(axis)
+    n_local = kops[0].shape[0]
+    if n_local * num_p >= 2**32:
+        raise ValueError(
+            f"global rows {n_local * num_p} >= 2^32: the u32 "
+            "device-interleaved position tie-break would wrap; "
+            "split the table into <4B-row sorts")
+    K = int(segments)
+    nk = len(kops)
+    sorted_ops = jax.lax.sort(tuple(kops) + tuple(pl_ops), num_keys=nk,
+                              is_stable=False)
+    kops_s = sorted_ops[:nk]
+    pays_s = sorted_ops[nk:]
+    pos = (jnp.arange(n_local, dtype=jnp.uint32)
+           * jnp.uint32(num_p) + my.astype(jnp.uint32))
+    domain = tuple(kops_s) + (pos,)
+
+    # num_p*K - 1 global fine splitters; device p owns ranges
+    # [p*K, (p+1)*K) so segment-major output is globally ordered
+    splitters = gather_splitters(domain, axis, num_p * K - 1,
+                                 samples_per_shard)
+    fine = lex_bounds(domain, splitters)                 # (P*K-1,)
+    all_b = jnp.concatenate([jnp.zeros(1, jnp.int32), fine,
+                             jnp.full(1, n_local, jnp.int32)])
+    dst = jnp.arange(num_p, dtype=jnp.int32) * K
+
+    streams = tuple(kops_s) + tuple(pays_s)
+    seg_recv, seg_tot, seg_ov = [], [], []
+    for k in range(K):
+        starts_k = jnp.take(all_b, dst + k)
+        ends_k = jnp.take(all_b, dst + k + 1)
+        recv, tot, ov = exchange_by_runs(
+            streams, starts_k, ends_k - starts_k, axis, cap_seg, use_ragged)
+        seg_recv.append(recv)
+        seg_tot.append(tot)
+        seg_ov.append(ov)
+
+    counts = jnp.stack(seg_tot).astype(jnp.int32)        # (K,)
+    overflow = jnp.stack(seg_ov).max()
+    stacked = [jnp.stack([seg_recv[k][i] for k in range(K)])  # (K, cap_seg)
+               for i in range(len(streams))]
+    invalid = (jnp.arange(cap_seg, dtype=jnp.int32)[None, :]
+               < counts[:, None]).astype(jnp.uint8) ^ 1
+    merged = jax.lax.sort((invalid,) + tuple(stacked), dimension=1,
+                          num_keys=1 + nk, is_stable=False)
+    flat = [m.reshape(-1) for m in merged[1:]]
+    return (tuple(flat[:nk]), tuple(flat[nk:]), counts, overflow)
+
+
 def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
                              axis: str = DEFAULT_AXIS, ascending: bool = True,
                              capacity_factor: float = 2.0,
                              samples_per_device: int = 256,
-                             key_dtype=None, use_ragged: bool | None = None):
+                             key_dtype=None, use_ragged: bool | None = None,
+                             final_mode: str = "sort",
+                             segments_per_device: int = 8):
     """Jittable distributed sort of row-sharded arrays.
 
     keys/payloads are sharded along the mesh axis (global length n).
@@ -376,13 +460,25 @@ def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
     padded_keys is length P*cap per device (sharded), counts is (P,) valid
     rows per device, and overflow flags capacity overrun (results then
     incomplete).
+
+    final_mode: "sort" = one capacity-padded receive buffer finished by a
+    full second sort; "blocked" = segment-aligned exchange finished by one
+    batched block sort (splitter_sort_blocked_core) — counts is then
+    (P * segments_per_device,) globally, one valid-prefix count per
+    segment sub-buffer; `gather_result` consumes either shape unchanged.
     """
     num_p = mesh.shape[axis]
     n = keys.shape[0]
     if n % num_p:
         raise ValueError(f"global length {n} not divisible by mesh size {num_p}")
     n_local = n // num_p
+    if final_mode not in ("sort", "blocked"):
+        raise ValueError(f"unknown final_mode {final_mode!r}")
+    K = max(int(segments_per_device), 1)
     cap_recv = max(int(math.ceil(capacity_factor * n_local)), 1)
+    # per-segment capacity: same total memory class as the padded buffer;
+    # finer ranges see more sampling error, absorbed by the elastic retry
+    cap_seg = max(int(math.ceil(capacity_factor * n_local / K)), 1)
     s_per_dev = min(n_local, samples_per_device) or 1
 
     kdt = np.dtype(key_dtype) if key_dtype is not None else np.dtype(keys.dtype)
@@ -399,13 +495,19 @@ def distributed_sort_sharded(keys: jax.Array, payloads, mesh: Mesh,
     def local_fn(keys_l, *payloads_l):
         kops = transforms.key_operands(keys_l, ascending, key_dtype)
         payloads_l = _split_payloads(payloads_l)
-        kops_f, pays_f, count, overflow = splitter_sort_core(
-            tuple(kops), tuple(payloads_l), axis, num_p, cap_recv,
-            s_per_dev, use_ragged)
+        if final_mode == "blocked":
+            kops_f, pays_f, count, overflow = splitter_sort_blocked_core(
+                tuple(kops), tuple(payloads_l), axis, num_p, cap_seg,
+                s_per_dev, use_ragged, K)
+            count_out, ov_out = count, overflow[None]
+        else:
+            kops_f, pays_f, count, overflow = splitter_sort_core(
+                tuple(kops), tuple(payloads_l), axis, num_p, cap_recv,
+                s_per_dev, use_ragged)
+            count_out, ov_out = count[None], overflow[None]
         keys_out = transforms.keys_from_operands(
             tuple(kops_f), kdt, ascending, as_bits=key_dtype is not None)
-        return (keys_out, _merge_payloads(pays_f), count[None],
-                overflow[None])
+        return (keys_out, _merge_payloads(pays_f), count_out, ov_out)
 
     shard = functools.partial(
         jax.shard_map, mesh=mesh,

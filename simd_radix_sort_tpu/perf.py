@@ -32,6 +32,7 @@ import numpy as np
 from . import methods as methods_mod
 from .utils import common
 from .utils import data as D
+from .utils import transforms
 
 OUT_DIR = os.environ.get("SRS_PERF_DIR", "bench_out")
 
@@ -49,12 +50,83 @@ def _sync(arrs):
             np.asarray(a.ravel()[:1])
 
 
+MIX64 = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier, mixes key bits
+
+
+def _bits64_host(x: np.ndarray) -> np.ndarray:
+    """Raw bits of a host stream widened to u64 (order-free fingerprints)."""
+    if x.dtype.kind == "f":
+        x = x.view(np.uint32 if x.dtype.itemsize == 4 else np.uint64)
+    return x.astype(np.uint64)
+
+
+def _device_validate(out, keys_host, pays_host, ascending, key_is_f64,
+                     pay_is_f64):
+    """On-device validation for cells too large to pull through the tunnel
+    (the bench.py gate generalized): exact sortedness of the output keys in
+    the order-carrier domain, key multiset conservation, and a key<->payload
+    PAIR fingerprint per payload stream (any dropped / duplicated /
+    decoupled row breaks at least one check with overwhelming probability).
+    Full-oracle host validation (the default) stays on reference-size
+    cells."""
+    kdt = np.float64 if key_is_f64 else None
+    ko, pos = out[0], out[1]
+
+    @jax.jit
+    def gate(ko, *pos):
+        kops = transforms.key_operands(ko, ascending, kdt)
+        if len(kops) == 1:
+            w = kops[0]
+            sorted_ok = jnp.all(w[1:] >= w[:-1]) if w.shape[0] else jnp.bool_(True)
+        else:
+            hi, lo = kops
+            sorted_ok = (jnp.all((hi[1:] > hi[:-1])
+                                 | ((hi[1:] == hi[:-1]) & (lo[1:] >= lo[:-1])))
+                         if hi.shape[0] else jnp.bool_(True))
+
+        def bits64(x):
+            if x.dtype.kind == "f":
+                x = jax.lax.bitcast_convert_type(
+                    x, jnp.uint32 if x.dtype.itemsize == 4 else jnp.uint64)
+            return x.astype(jnp.uint64)
+
+        k64 = bits64(ko)
+        sums = [jnp.sum(k64), jnp.bitwise_xor.reduce(k64)]
+        for p in pos:
+            pair = (k64 * MIX64) ^ bits64(p)
+            sums += [jnp.sum(pair), jnp.bitwise_xor.reduce(pair)]
+        return (sorted_ok, *sums)
+
+    got = [np.asarray(v) for v in gate(ko, *pos)]
+    if not bool(got[0]):
+        return "output keys not sorted (device gate)"
+    with np.errstate(over="ignore"):
+        k64h = _bits64_host(keys_host)
+        want = [k64h.sum(dtype=np.uint64), np.bitwise_xor.reduce(k64h)]
+        for p in pays_host:
+            pair = (k64h * MIX64) ^ _bits64_host(np.asarray(p))
+            want += [pair.sum(dtype=np.uint64), np.bitwise_xor.reduce(pair)]
+    labels = (["key sum", "key xor"]
+              + [f"pair {i // 2} {'sum' if i % 2 == 0 else 'xor'}"
+                 for i in range(2 * len(pays_host))])
+    for g, w, what in zip(got[1:], want, labels):
+        if np.uint64(g) != np.uint64(w):
+            return f"{what} fingerprint mismatch (device gate)"
+    return ""
+
+
 def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
                            distribution=D.Distribution.UNIFORM,
                            ascending: bool = True, seed: int = 1,
-                           validate: bool = True, reps: int | None = None,
+                           validate=True, reps: int | None = None,
                            warmups: int | None = None) -> float:
-    """ns per element for one (method, workload) cell, reference protocol."""
+    """ns per element for one (method, workload) cell, reference protocol.
+
+    validate: True/"host" = the full key-seeded payload oracle on host
+    (the reference protocol, perf.hpp:51-59); "device" = the on-device
+    sortedness + fingerprint gate (for cells whose output is too large to
+    pull through the tunnel — falls back to host for host engines);
+    False = skip."""
     m = methods_mod.resolve(method, key_dtype, payload_dtypes, num)
     # capped: past a few hundred reps the mean is stable and each rep is a
     # dispatch, not a CPU call like the reference's
@@ -83,10 +155,10 @@ def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
         keys = D.make_keys(num, key_dtype, distribution, seed + i)
         pays = D.make_payloads(keys, payload_dtypes, "fast")
         if not m.device:
-            return keys, tuple(pays)
-        pays = [p.view(np.uint64) if f64 else p
-                for p, f64 in zip(pays, pay_is_f64)]
-        return keys, tuple(jnp.asarray(p) for p in pays)
+            return keys, tuple(pays), tuple(pays)
+        staged = [p.view(np.uint64) if f64 else p
+                  for p, f64 in zip(pays, pay_is_f64)]
+        return keys, tuple(pays), tuple(jnp.asarray(p) for p in staged)
 
     if not m.device:  # python-loop baselines: a few reps suffice
         reps = min(reps, 3)
@@ -98,7 +170,7 @@ def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
 
     datasets = [fresh(i) for i in range(min(reps, 8))]
     for w in range(warmups):
-        k, ps = datasets[w % len(datasets)]
+        k, _, ps = datasets[w % len(datasets)]
         out = fn(_stage_keys(k), ps)
         _sync([out[0]])
 
@@ -109,7 +181,7 @@ def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
     # executes dispatches in order, so the final fence covers all reps —
     # the standard accelerator timing protocol replacing the reference's
     # per-call CPU clock (perf.hpp:33-47).
-    staged = [(_stage_keys(k), ps) for k, ps in datasets]
+    staged = [(_stage_keys(k), ps) for k, _, ps in datasets]
     if m.device:
         _sync([kd for kd, _ in staged])
     out = None
@@ -120,15 +192,19 @@ def measure_ns_per_element(method: str, num: int, key_dtype, payload_dtypes,
     if m.device:
         _sync([out[0]])
     total = time.perf_counter() - t0
-    last = (datasets[(reps - 1) % len(datasets)][0], out)
-    if validate and num and last is not None:
-        keys, out = last
-        ko = np.asarray(out[0])
-        if key_is_f64:
-            ko = ko.view(np.float64)
-        po = tuple(np.asarray(p).view(np.float64) if f64 else np.asarray(p)
-                   for p, f64 in zip(out[1], pay_is_f64))
-        err = D.check_data(ko, po, keys, ascending)
+    if validate and num and out is not None:
+        keys, pays_host, _ = datasets[(reps - 1) % len(datasets)]
+        if validate == "device" and m.device:
+            err = _device_validate(out, keys, pays_host, ascending,
+                                   key_is_f64, pay_is_f64)
+        else:
+            ko = np.asarray(out[0])
+            if key_is_f64:
+                ko = ko.view(np.float64)
+            po = tuple(np.asarray(p).view(np.float64) if f64
+                       else np.asarray(p)
+                       for p, f64 in zip(out[1], pay_is_f64))
+            err = D.check_data(ko, po, keys, ascending)
         if err:
             raise AssertionError(
                 f"perf measurement produced wrong output ({err}) for "
@@ -191,9 +267,9 @@ def perf_test(methods, num: int, key_dtype, payload_dtypes,
 
 def perf_test_num(methods, key_dtype, payload_dtypes,
                   distribution=D.Distribution.UNIFORM,
-                  max_num: int = 1 << 22, **kw) -> str:
-    """n-scaling sweep, n = 1, 2, 4 ... max_num (PerfTest::perfTestNum,
-    perf.hpp:368-416; header perf.hpp:383-385)."""
+                  max_num: int = 1 << 22, min_num: int = 1, **kw) -> str:
+    """n-scaling sweep, n = min_num, 2*min_num ... max_num
+    (PerfTest::perfTestNum, perf.hpp:368-416; header perf.hpp:383-385)."""
     # a method must support EVERY size in the sweep to get a column
     # (size-capped methods like rank would otherwise crash mid-table);
     # selector names (auto/autotune) are not REGISTRY keys and always pass
@@ -205,7 +281,7 @@ def perf_test_num(methods, key_dtype, payload_dtypes,
 
     methods = [m for m in methods if _ok(m)]
     rows = []
-    n = 1
+    n = max(int(min_num), 1)
     while n <= max_num:
         row = [n]
         for m in methods:
@@ -320,6 +396,53 @@ def perf_test_speedup(method_a: str, method_b: str, num: int,
             ".dat")
     header = "key_type " + " ".join(f"factor{f}" for f in factors)
     return _write_dat(name, header, rows)
+
+
+def perf_test_packed(num: int, key_dtype, payload_dtypes,
+                     methods=("xla", "radix", "quick"),
+                     distribution=D.Distribution.UNIFORM, seed: int = 1,
+                     reps: int | None = None,
+                     validate: bool = True) -> str:
+    """Combined-layout ENGINE table: sort_packed(method=...) per device
+    engine at one workload — the packed-path crossover study enabled by
+    routing sort_packed through the method facade (round 5; reference
+    combined entry src/radix_sort.hpp:314-332).  AoS conversion happens
+    outside the timed region like the reference harness (perf.hpp:28-63);
+    each engine's output is validated with the payload oracle."""
+    from .ops import sort as sort_mod
+    reps = reps if reps is not None else min(
+        512, max(1, REPS_NUMERATOR // max(num, 1)))
+    keys = D.make_keys(num, key_dtype, distribution, seed)
+    pays = D.make_payloads(keys, payload_dtypes, "fast")
+    packed = jnp.asarray(sort_mod.pack_rows(keys, pays))
+
+    rows = []
+    for m in methods:
+        meth = methods_mod.REGISTRY.get(m)
+        # pseudo payload streams of the packed transport: u32 words + u8 tail
+        pbytes = sum(np.dtype(p).itemsize for p in payload_dtypes)
+        pseudo = (np.dtype(np.uint32),) * (pbytes // 4) \
+            + (np.dtype(np.uint8),) * (pbytes % 4)
+        if meth is not None and not meth.supports(
+                np.dtype(key_dtype), pseudo, num):
+            continue
+        fn = jax.jit(lambda p, m=m: sort_mod.sort_packed(
+            p, key_dtype, method=m))
+        sec = _time_pipelined(fn, [(packed,)], reps)
+        if validate and num:
+            out = np.asarray(fn(packed))
+            ko, po = sort_mod.unpack_rows(out, key_dtype, payload_dtypes)
+            err = D.check_data(ko, po, keys, True)
+            if err:
+                raise AssertionError(
+                    f"packed perf produced wrong output ({err}) for "
+                    f"{m} {common.type_name(key_dtype)} n={num}")
+        rows.append((m, f"{sec / max(num, 1) * 1e9:.4f}"))
+    name = "packed-" + "-".join(
+        [common.type_name(key_dtype)]
+        + [common.type_name(p) for p in payload_dtypes]
+        + [distribution.value, str(num)]) + ".dat"
+    return _write_dat(name, "sort_method nanoseconds_per_element", rows)
 
 
 def perf_test_combined(num: int, key_dtype, payload_dtypes,

@@ -234,3 +234,65 @@ def test_splitter_parts_validity_channel():
         jax.device_put(jnp.asarray(nv_arr), NamedSharding(mesh, P("x"))))
     spl = np.asarray(out[0])[0]
     assert ((spl >= 1000) & (spl < 2000)).all(), spl
+
+
+# ---------------------------------------------------------------------------
+# blocked final mode (round 5): segment-aligned exchange + batched block sort
+# ---------------------------------------------------------------------------
+
+def _run_blocked(key_dtype, payload_dtypes, dist, n, num_devices=8,
+                 capacity_factor=2.0, segments=4, ascending=True):
+    import functools
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+
+    mesh = dist_sort.make_mesh(num_devices)
+    keys = D.make_keys(n, key_dtype, dist, seed=99)
+    payloads = D.make_payloads(keys, payload_dtypes, "fast")
+    keys_s, kdt = dist_sort.stage_host_bits(keys)
+    sharding = NamedSharding(mesh, P_("x"))
+    kd = jax.device_put(jnp.asarray(keys_s), sharding)
+    pd = tuple(jax.device_put(jnp.asarray(p), sharding) for p in payloads)
+    fn = jax.jit(functools.partial(
+        dist_sort.distributed_sort_sharded, mesh=mesh, ascending=ascending,
+        capacity_factor=capacity_factor, key_dtype=kdt,
+        final_mode="blocked", segments_per_device=segments))
+    out_k, out_p, counts, overflow = fn(kd, pd)
+    assert not bool(np.asarray(overflow).any()), "blocked capacity overflow"
+    counts_h = np.asarray(counts)
+    assert counts_h.shape == (num_devices * segments,)
+    got_k, got_p = dist_sort.gather_result(
+        np.asarray(out_k), tuple(np.asarray(p) for p in out_p), counts_h)
+    if kdt is not None:
+        got_k = got_k.view(kdt)
+    assert got_k.shape == keys.shape
+    err = D.check_data(got_k, got_p, keys, ascending)
+    assert err == "", err
+    want = transforms.sort_np(keys, *payloads, ascending=ascending)
+    assert np.array_equal(got_k.view(np.uint8), want[0].view(np.uint8))
+
+
+@pytest.mark.parametrize("key_dtype", [np.uint64, np.int32, np.float64],
+                         ids=common.type_name)
+def test_blocked_final_mode(key_dtype):
+    _run_blocked(key_dtype, (np.uint64,), D.Distribution.UNIFORM, 8 * 2048)
+
+
+def test_blocked_final_mode_duplicates_and_desc():
+    # duplicate-heavy input exercises the fine-splitter tie-break; a
+    # capacity factor of 2 must still hold every segment
+    _run_blocked(np.int32, (np.uint32,), D.Distribution.ZERO_ONE, 8 * 1024,
+                 segments=8)
+    _run_blocked(np.uint32, (), D.Distribution.GAUSSIAN, 8 * 1024,
+                 ascending=False, segments=2)
+
+
+def test_blocked_final_mode_bad_mode_rejected():
+    mesh = dist_sort.make_mesh(2)
+    keys = D.make_keys(2 * 256, np.uint32, D.Distribution.UNIFORM, 1)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+    kd = jax.device_put(jnp.asarray(keys), NamedSharding(mesh, P_("x")))
+    with pytest.raises(ValueError):
+        dist_sort.distributed_sort_sharded(kd, (), mesh=mesh,
+                                           final_mode="bogus")

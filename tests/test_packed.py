@@ -74,3 +74,52 @@ def test_packed_64_byte_elements():
         # payload rows must follow their keys; with (vanishingly unlikely)
         # duplicate u64 keys any within-group order is fine
         assert np.array_equal(got, src[order])
+
+
+FACADE_METHODS = ["xla", "radix", "quick", "auto"]
+
+
+@pytest.mark.parametrize("method", FACADE_METHODS)
+def test_packed_method_facade(method):
+    """sort_packed routes through the method facade (round-5: previously
+    hardcoded the variadic-lax.sort path) — every device engine must
+    produce oracle-correct packed output and byte-match the separate arm
+    sorted with the same engine."""
+    keys = D.make_keys(2000, np.int32, D.Distribution.GAUSSIAN, 7)
+    payloads = D.make_payloads(keys, (np.uint32, np.uint8), "fast")
+    packed = srs.pack_rows(keys, payloads)
+    out = np.asarray(srs.sort_packed(packed, np.int32, method=method))
+    k3, p3 = srs.unpack_rows(out, np.int32, (np.uint32, np.uint8))
+    err = D.check_data(k3, p3, keys, True)
+    assert err == "", f"{method}: {err}"
+
+
+def test_packed_method_config_and_count():
+    """config= supplies the method default; keys-only packed rows may route
+    the counting engine (narrow integer keys)."""
+    from simd_radix_sort_tpu.config import SortConfig
+
+    keys = D.make_keys(3000, np.int32, D.Distribution.ZERO_ONE, 11)
+    packed = srs.pack_rows(keys, ())
+    out = np.asarray(srs.sort_packed(packed, np.int32,
+                                     config=SortConfig(method="count")))
+    k3, _ = srs.unpack_rows(out, np.int32, ())
+    assert D.check_data(k3, (), keys, True) == ""
+
+    # a payload-bearing packed sort must reject the counting engine
+    keys2 = D.make_keys(100, np.int32, D.Distribution.UNIFORM, 5)
+    pays2 = D.make_payloads(keys2, (np.uint32,), "fast")
+    packed2 = srs.pack_rows(keys2, pays2)
+    with pytest.raises(ValueError):
+        srs.sort_packed(packed2, np.int32, method="count")
+
+
+def test_packed_rank_and_f64_facade():
+    """rank engine (n<=4096) and the f64 bits protocol both work through
+    the packed facade."""
+    keys = D.make_keys(1024, np.float64, D.Distribution.GAUSSIAN, 13)
+    pays = D.make_payloads(keys, (np.uint64,), "fast")
+    packed = srs.pack_rows(keys, pays)
+    out = np.asarray(srs.sort_packed(packed, np.float64, method="rank"))
+    k3, p3 = srs.unpack_rows(out, np.float64, (np.uint64,))
+    assert D.check_data(k3, p3, keys, True) == ""

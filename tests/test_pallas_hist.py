@@ -56,3 +56,70 @@ def test_fill_runs_empty_buckets():
     out = np.asarray(pallas_hist.fill_runs(hist, 7, 0, jnp.uint8,
                                            interpret=True))
     assert np.array_equal(out, np.array([1] * 5 + [4] * 2, np.uint8))
+
+
+@pytest.mark.parametrize("lo,width", [(0, 16), (7, 16), (2**31 - 5, 16),
+                                      (2**32 - 16, 16), (123456, 1),
+                                      (0, 1)])
+def test_minmax_hist16_interpret(lo, width):
+    """Fused (min, max, residue histogram) == separate NumPy passes, and the
+    rotation recovers the true histogram for any sub-16 window — including
+    windows straddling the sign bit and the u32 wrap boundary."""
+    rng = np.random.default_rng(3)
+    n = pallas_hist.HIST_BLOCK_ROWS * 128 + 777  # 1 full block + ragged pad
+    v = (np.uint32(lo) + rng.integers(0, width, n).astype(np.uint32))
+    mn, mx, hist_mod = jax.jit(
+        lambda x: pallas_hist.minmax_hist16(x, interpret=True))(jnp.asarray(v))
+    assert int(mn) == int(v.min()) and int(mx) == int(v.max())
+    want_mod = np.bincount((v & 15).astype(np.int64), minlength=16)
+    assert np.array_equal(np.asarray(hist_mod), want_mod)
+    # rotation: hist[j] = #{v == min + j}
+    rot = (int(v.min()) + np.arange(16, dtype=np.uint64)) & 15
+    hist = np.asarray(hist_mod)[rot.astype(np.int64)]
+    want = np.array([(v == np.uint32(int(v.min()) + j)).sum()
+                     for j in range(16)])
+    assert np.array_equal(hist, want)
+
+
+def test_minmax_hist16_small_and_empty():
+    for n in (1, 5, 130):
+        v = np.arange(n, dtype=np.uint32) % 3 + 10
+        mn, mx, hm = pallas_hist.minmax_hist16(jnp.asarray(v),
+                                               interpret=True)
+        assert int(mn) == int(v.min()) and int(mx) == int(v.max())
+        assert int(np.asarray(hm).sum()) == n
+
+
+@pytest.mark.parametrize("lo,width,n_extra", [
+    (0, 16, 777), (7, 13, 0), (2**31 - 5, 16, 1), (2**32 - 16, 16, 12345),
+    (42, 1, 130), (0, 1, 0)])
+def test_tiny_sort16_interpret(lo, width, n_extra):
+    """One-launch tiny-range sort == np.sort, min/max exact — including
+    windows straddling the sign bit and the u32 wrap boundary, constant
+    inputs, and ragged tails."""
+    rng = np.random.default_rng(5)
+    n = pallas_hist.TINY_BLOCK_ROWS * 128 + n_extra
+    v = (np.uint32(lo) + rng.integers(0, width, n).astype(np.uint32))
+    out, mn, mx = jax.jit(
+        lambda x: pallas_hist.tiny_sort16(x, interpret=True))(jnp.asarray(v))
+    assert int(mn) == int(v.min()) and int(mx) == int(v.max())
+    assert np.array_equal(np.asarray(out), np.sort(v))
+
+
+def test_tiny_sort16_multiblock_interpret():
+    """Several input blocks -> several paint blocks in one grid."""
+    rng = np.random.default_rng(6)
+    n = pallas_hist.TINY_BLOCK_ROWS * 128 * 3 + 999
+    v = rng.integers(100, 100 + 16, n).astype(np.uint32)
+    out, mn, mx = pallas_hist.tiny_sort16(jnp.asarray(v), interpret=True)
+    assert np.array_equal(np.asarray(out), np.sort(v))
+    assert (int(mn), int(mx)) == (int(v.min()), int(v.max()))
+
+
+def test_tiny_sort16_wide_range_stats_still_exact():
+    """Out-of-contract (range >= 16) inputs: the sorted output is garbage
+    by contract, but min/max — which gate the caller's cond — are exact."""
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 2**32, 4096, dtype=np.uint64).astype(np.uint32)
+    _, mn, mx = pallas_hist.tiny_sort16(jnp.asarray(v), interpret=True)
+    assert (int(mn), int(mx)) == (int(v.min()), int(v.max()))
