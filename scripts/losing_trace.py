@@ -75,11 +75,24 @@ def chained(fn, iters, dtype):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 18)
-    ap.add_argument("--iters", type=int, default=64)
+    # round-5 protocol fix: at iters=64/reps=3 (rounds 3-4) the ONE host
+    # fence amortized over so little device work that the "device" column
+    # carried a ~0.5 ns/elem floor — measured directly: the chained
+    # IDENTITY function read 0.52-0.56 ns/elem at 2^18.  256-iteration
+    # chains x 10 pipelined reps shrink the floor to ~0.05 ns/elem
+    # (TINY_FUSION_r05.json carries the floor measurement).
+    ap.add_argument("--iters", type=int, default=256)
     ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--dev-reps", type=int, default=10)
     args = ap.parse_args()
     n, iters = args.n, args.iters
     report = {"n": n, "iters": iters, "protocol": __doc__.split("\n")[0],
+              "protocol_note": (
+                  "round-5 fix: device leg uses 256-iter chains x 10 reps; "
+                  "the r03/r04 64x3 protocol under-amortized the final host "
+                  "fence, inflating every device cell by a ~0.5 ns/elem "
+                  "floor (identity-function control committed in "
+                  "TINY_FUSION_r05.json)"),
               "cells": {}}
 
     for dt_name, dist in CELLS:
@@ -97,7 +110,7 @@ def main():
         for eng, fn in engines.items():
             disp = timeit(jax.jit(fn), [u], reps=args.reps, warmup=2)
             dev = timeit(chained(fn, iters, dtype), [u],
-                         reps=3, warmup=1) / iters
+                         reps=args.dev_reps, warmup=1) / iters
             cell[eng] = {
                 "dispatched_ns_per_elem": round(disp / n * 1e9, 3),
                 "device_ns_per_elem": round(dev / n * 1e9, 3),

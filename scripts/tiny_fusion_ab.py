@@ -33,7 +33,11 @@ from simd_radix_sort_tpu.utils import data as D  # noqa: E402
 from simd_radix_sort_tpu.utils import transforms  # noqa: E402
 
 N = 1 << 18
-ITERS = 64
+# 256-iter chains x 10 pipelined reps: the round-5 protocol fix — shorter
+# chains under-amortize the final host fence, which alone reads ~0.5
+# ns/elem at 2^18 (the identity control below measures the residual floor)
+ITERS = 256
+REPS = 10
 CYCLES = 5
 
 
@@ -80,24 +84,28 @@ def chained(fn):
 
 
 def main():
-    report = {"n": N, "iters": ITERS, "cycles": CYCLES,
+    report = {"n": N, "iters": ITERS, "reps": REPS, "cycles": CYCLES,
               "protocol": __doc__.strip().split("\n")[0], "cells": {}}
-    scheds = {"3launch": three_launch, "2launch": two_launch,
+    scheds = {"identity_floor": lambda u: u,
+              "3launch": three_launch, "2launch": two_launch,
               "1launch": one_launch, "xla": xla_sortu}
     for dist, dd in (("Zero", D.Distribution.ZERO),
                      ("ZeroOne", D.Distribution.ZERO_ONE)):
         keys = D.make_keys(N, np.int32, dd, seed=11)
         (u,) = transforms.key_operands(jnp.asarray(keys), True)
         fns = {name: chained(fn) for name, fn in scheds.items()}
-        # correctness gate before timing
+        # correctness gate before timing (the identity control is the
+        # floor measurement, not a sort)
         want = np.sort(np.asarray(u))
         for name, fn in scheds.items():
+            if name == "identity_floor":
+                continue
             got = np.asarray(jax.jit(fn)(u))
             assert np.array_equal(got, want), f"{name} wrong on {dist}"
         samples = {name: [] for name in scheds}
         for c in range(CYCLES):
             for name, f in fns.items():
-                t = timeit(f, [u], reps=3, warmup=1 if c == 0 else 0)
+                t = timeit(f, [u], reps=REPS, warmup=1 if c == 0 else 0)
                 samples[name].append(t / ITERS / N * 1e9)
         cell = {}
         for name in scheds:

@@ -396,7 +396,8 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
                      use_ragged: bool | None = None,
                      hot_keys: int = 8,
                      hot_min_count: int | None = None,
-                     hot_rows_per_device: int | None = None):
+                     hot_rows_per_device: int | None = None,
+                     return_hot_stats: bool = False):
     """Mesh inner join: range-partition BOTH tables by shared splitters,
     ragged-exchange each side over ICI, sort-merge join locally.
 
@@ -433,6 +434,11 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
     buffer, hot-replication, or output-capacity overrun (rerun with a
     larger factor / out_rows_per_device).  Keys of both tables must share
     one dtype.
+
+    return_hot_stats=True appends a `hot_stats` dict before `meta`:
+    per-device hot PROBE/BUILD row counts and the (replicated) number of
+    hot key slots the sampler flagged — the committed heavy-hitter
+    statistics of north-star config 5.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -635,12 +641,22 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
             as_bits=key_f64 is not None)
         out_pp = dist_sort.merge_payload_streams(out_pp, p_dts)
         out_bp = dist_sort.merge_payload_streams(out_bp, b_dts)
-        return (count[None], keys_out) + out_pp + out_bp + (ov[None],)
+        base_out = (count[None], keys_out) + out_pp + out_bp + (ov[None],)
+        if not return_hot_stats:
+            return base_out
+        if use_hot:
+            hs = (jnp.int32(dom_p[0].shape[0]) - n_cold_p,
+                  jnp.int32(dom_b[0].shape[0]) - n_cold_b,
+                  jnp.sum(hot_valid.astype(jnp.int32)))
+        else:
+            hs = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        return base_out + tuple(h[None] for h in hs)
 
-    n_out = 2 + len(p_dts) + len(b_dts) + 1
+    n_out = 2 + len(p_dts) + len(b_dts) + 1 + (3 if return_hot_stats else 0)
     fn = dist_sort.cached_jit(
         ("join", mesh, axis, cap_p, cap_b, cap_out, cap_hot, hot_keys,
          mc_p, mc_b, samples_per_device, use_ragged, str(key_f64),
+         return_hot_stats,
          probe_keys.shape, build_keys.shape, probe_keys.dtype.str,
          tuple(dt.str for dt in p_dts), tuple(dt.str for dt in b_dts)),
         lambda: jax.shard_map(
@@ -651,7 +667,13 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
     counts, keys_out = out[0], out[1]
     out_pp = tuple(out[2: 2 + len(p_dts)])
     out_bp = tuple(out[2 + len(p_dts): 2 + len(p_dts) + len(b_dts)])
-    overflow = out[-1]
+    iov = 2 + len(p_dts) + len(b_dts)
+    overflow = out[iov]
+    if return_hot_stats:
+        hot_stats = {"hot_probe_rows_per_device": out[iov + 1],
+                     "hot_build_rows_per_device": out[iov + 2],
+                     "hot_key_slots_flagged": out[iov + 3]}
+        return counts, keys_out, out_pp, out_bp, overflow, hot_stats, meta
     return counts, keys_out, out_pp, out_bp, overflow, meta
 
 
