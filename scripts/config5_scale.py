@@ -1,0 +1,627 @@
+"""North-star config 5, scored at scale (round 5).
+
+BASELINE.json configs[4]: "Multi-host (N>=2) distributed sort + hash join
+on hash-partitioned 1B-row tables with Zipf-skewed keys, ragged
+all-to-all shuffle with skew repartitioning".  The reference has no
+analogue at ANY scale (single-threaded; bachelors-thesis.tex:4190-4203).
+One physical chip is reachable here, so the config is scored on the three
+tiers this environment allows — the same standard configs 3-4 used
+(pre-registration in BENCH_NOTES.md "config 5" section, written before
+these runs; every expectation is scored PASS/FAIL in the artifact):
+
+  --leg vmesh      8-device virtual CPU mesh, 1e8-row [u64,u64] Zipf(1.1)
+                   distributed sort with a measured per-phase wall-time
+                   decomposition (local sort / exchange / final sort, each
+                   timed as its own program on the same data), plus the
+                   blocked-final variant; 8e7-row fact-to-dimension hash
+                   join under Zipf(1.1) AND Zipf(1.5) skew with committed
+                   heavy-hitter statistics and the hot-path-off ablation.
+  --leg multiproc  the same workloads across 2 and 4 REAL OS processes
+                   (jax.distributed + Gloo), outputs validated vs NumPy.
+  --leg chip       the real-TPU 1-device-mesh run of the RAGGED exchange
+                   path at 1e8 rows (sort) and 1e8x1e7 (join) — the
+                   per-chip rate anchor.
+
+Keys are splitmix64-hashed Zipf ranks ("hash-partitioned ... Zipf-skewed
+keys"): the hash spreads ranks uniformly over the u64 key space while
+preserving the multiplicity skew exactly.  Build tables are dimension
+tables (unique keys); probe tables draw Zipf-distributed foreign keys, so
+every probe row matches exactly one build row and the expected join
+cardinality is the probe row count.
+
+All legs merge their results into CONFIG5_r05.json.
+"""
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT = os.path.join(REPO, "CONFIG5_r05.json")
+
+M1 = 0x9E3779B97F4A7C15
+M2 = 0xBF58476D1CE4E5B9
+M3 = 0x94D049BB133111EB
+
+
+def splitmix64_np(x):
+    import numpy as np
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = (x + np.uint64(M1)) & mask
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(M2)) & mask
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(M3)) & mask
+    return z ^ (z >> np.uint64(31))
+
+
+def zipf_ranks(n, a, domain, seed):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    r = rng.zipf(a, n).astype(np.uint64)
+    return ((r - np.uint64(1)) % np.uint64(domain)) + np.uint64(1)
+
+
+def make_sort_table(n, a, seed):
+    """[u64 key, u64 payload] with Zipf(a)-skewed hashed keys; the payload
+    is a deterministic function of (key, row) for pair fingerprinting."""
+    import numpy as np
+    ranks = zipf_ranks(n, a, 1 << 62, seed)
+    keys = splitmix64_np(ranks)
+    pays = splitmix64_np(keys ^ np.arange(n, dtype=np.uint64))
+    return keys, pays
+
+
+def skew_stats(keys):
+    import numpy as np
+    _, counts = np.unique(keys, return_counts=True)
+    counts.sort()
+    n = keys.shape[0]
+    return {"distinct_keys": int(counts.size),
+            "top1_share": float(counts[-1] / n),
+            "top8_share": float(counts[-8:].sum() / n)}
+
+
+def merge_out(leg, payload):
+    data = {}
+    if os.path.exists(OUT):
+        data = json.load(open(OUT))
+    data.setdefault("what", "north-star config 5 scored artifact (round 5)")
+    data[leg] = payload
+    with open(OUT, "w") as f:
+        json.dump(data, f, indent=1)
+        f.write("\n")
+    print(f"-> {OUT} [{leg}]")
+
+
+def timed(fn, args, reps, fence):
+    out = fn(*args)
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        fence(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+# ==========================================================================
+# shared join runner (any mesh / process topology)
+# ==========================================================================
+
+def run_join(mesh, n_probe, n_build, a, seed, hot_keys, say,
+             fetch, out_rows_per_device=None):
+    import numpy as np
+    from simd_radix_sort_tpu.parallel import dist_ops
+
+    num_p = int(np.prod(list(mesh.shape.values())))
+    ranks = zipf_ranks(n_probe, a, n_build, seed)
+    probe_keys = splitmix64_np(ranks)
+    probe_pay = splitmix64_np(probe_keys ^ np.arange(n_probe,
+                                                     dtype=np.uint64))
+    build_keys = splitmix64_np(np.arange(1, n_build + 1, dtype=np.uint64))
+    rngb = np.random.default_rng(seed + 1)
+    build_keys = rngb.permutation(build_keys)
+    build_pay = splitmix64_np(build_keys ^ np.uint64(0xC0FFEE))
+
+    st = skew_stats(probe_keys)
+    say(f"join probe={n_probe} build={n_build} zipf(a={a}) "
+        f"top1={st['top1_share']:.3f}")
+
+    t0 = time.perf_counter()
+    res = dist_ops.distributed_join(
+        probe_keys, (probe_pay,), build_keys, (build_pay,), mesh=mesh,
+        hot_keys=hot_keys, return_hot_stats=True,
+        out_rows_per_device=out_rows_per_device)
+    counts, kout, pp, bp, overflow, hot_stats, meta = res
+    import jax
+    jax.block_until_ready(counts)
+    t_first = time.perf_counter() - t0  # includes compile
+
+    # timed reps of the cached program (cached_jit reuses the trace)
+    def call():
+        return dist_ops.distributed_join(
+            probe_keys, (probe_pay,), build_keys, (build_pay,), mesh=mesh,
+            hot_keys=hot_keys, return_hot_stats=True,
+            out_rows_per_device=out_rows_per_device)
+
+    t0 = time.perf_counter()
+    res = call()
+    jax.block_until_ready(res[0])
+    t_run = time.perf_counter() - t0
+    counts, kout, pp, bp, overflow, hot_stats, meta = res
+
+    ov = int(fetch(overflow).max())
+    counts_h = fetch(counts)
+    total = int(counts_h.sum())
+    hs = {k: fetch(v).tolist() if hasattr(fetch(v), "tolist") else fetch(v)
+          for k, v in hot_stats.items()}
+
+    rec = {"n_probe": n_probe, "n_build": n_build, "zipf_a": a,
+           "hot_keys": hot_keys, "devices": num_p,
+           "first_call_s_incl_compile": round(t_first, 2),
+           "run_s": round(t_run, 3),
+           "probe_rows_per_s": round(n_probe / t_run),
+           "overflow": ov, "output_rows": total,
+           "expected_output_rows": n_probe,
+           "skew": st, "hot_stats": hs}
+
+    if ov == 0:
+        # validation: every output row's build payload must equal the
+        # deterministic function of its key; the (key, probe_pay) multiset
+        # must equal the input's (fingerprints)
+        k_all, pp_all, bp_all = dist_ops.gather_joined(
+            counts_h, fetch(kout), (fetch(pp[0]),), (fetch(bp[0]),), meta)
+        assert total == n_probe, (total, n_probe)
+        assert np.array_equal(bp_all[0],
+                              splitmix64_np(k_all ^ np.uint64(0xC0FFEE))), \
+            "join: build payload decoupled from key"
+        with np.errstate(over="ignore"):
+            mixi = (probe_keys * np.uint64(M1)) ^ probe_pay
+            mixo = (k_all * np.uint64(M1)) ^ pp_all[0]
+            assert mixi.sum() == mixo.sum() and \
+                np.bitwise_xor.reduce(mixi) == np.bitwise_xor.reduce(mixo), \
+                "join: probe pair multiset broken"
+        rec["validated"] = ["output_rows==probe_rows",
+                            "build_payload_is_f(key)",
+                            "probe_pair_fingerprints"]
+    say(f"  join a={a} hot_keys={hot_keys}: {t_run:.2f}s "
+        f"({n_probe / t_run / 1e6:.2f} Mrows/s) overflow={ov} "
+        f"hot_slots={hs['hot_key_slots_flagged']}")
+    return rec
+
+
+# ==========================================================================
+# vmesh leg
+# ==========================================================================
+
+def leg_vmesh(n_sort, n_probe, n_build, reps):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import functools
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P_
+    from simd_radix_sort_tpu.parallel import dist_sort
+    from simd_radix_sort_tpu.utils import transforms
+
+    say = lambda m: print(f"[vmesh] {m}", flush=True)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    sharding = NamedSharding(mesh, P_("x"))
+    axis, num_p = "x", 8
+    n_local = n_sort // num_p
+    cap_recv = 2 * n_local
+
+    keys, pays = make_sort_table(n_sort, 1.1, 20260820)
+    st = skew_stats(keys)
+    say(f"sort n={n_sort} zipf(1.1)-hashed keys, top1={st['top1_share']:.4f}")
+
+    kd = jax.device_put(jnp.asarray(keys), sharding)
+    pd = jax.device_put(jnp.asarray(pays), sharding)
+    fence = lambda out: jax.block_until_ready(out)
+
+    # ---- full distributed sort (padded final) + blocked variant ---------
+    rec = {"n": n_sort, "devices": num_p, "skew": st, "reps": reps,
+           "note": ("8 virtual CPU devices time-slice ONE core: wall time "
+                    "measures TOTAL WORK (dense-emulation exchange), not "
+                    "speedup — the same framing as SCALING_CURVES_r04")}
+    for mode in ("sort", "blocked"):
+        fn = jax.jit(functools.partial(
+            dist_sort.distributed_sort_sharded, mesh=mesh, final_mode=mode))
+        t, out = timed(fn, (kd, (pd,)), reps, fence)
+        ovf = int(np.asarray(out[3]).max())
+        counts_h = np.asarray(out[2])
+        rec[f"full_{mode}_s"] = round(t, 2)
+        rec[f"full_{mode}_rows_per_s"] = round(n_sort / t)
+        rec[f"full_{mode}_overflow"] = ovf
+        assert ovf == 0, f"{mode}: overflow"
+        ks, (ps_,) = dist_sort.gather_result(
+            np.asarray(out[0]), (np.asarray(out[1][0]),), counts_h)
+        assert np.array_equal(ks, np.sort(keys)), f"{mode}: keys wrong"
+        with np.errstate(over="ignore"):
+            mi = (keys * np.uint64(M1)) ^ pays
+            mo = (ks * np.uint64(M1)) ^ ps_
+            assert mi.sum() == mo.sum() and \
+                np.bitwise_xor.reduce(mi) == np.bitwise_xor.reduce(mo), \
+                f"{mode}: pair fingerprints broken"
+        if mode == "sort":
+            per_dev = counts_h
+        else:
+            per_dev = counts_h.reshape(num_p, -1).sum(axis=1)
+        rec[f"full_{mode}_recv_max_over_mean"] = round(
+            float(per_dev.max() / per_dev.mean()), 4)
+        say(f"full ({mode}): {t:.1f}s = {n_sort / t / 1e6:.2f} Mrows/s, "
+            f"overflow=0, recv max/mean="
+            f"{rec[f'full_{mode}_recv_max_over_mean']}")
+
+    # ---- per-phase decomposition on the same data ------------------------
+    def split_all(k, p):
+        khi, klo = transforms.split64(k)
+        phi, plo = transforms.split64(p)
+        return khi, klo, phi, plo
+
+    def local_sort_only(k, p):
+        ops = split_all(k, p)
+        s = jax.lax.sort(ops, num_keys=2)
+        return tuple(x[:1] for x in s)  # tiny outputs
+
+    t_local, _ = timed(jax.jit(jax.shard_map(
+        local_sort_only, mesh=mesh, in_specs=(P_(axis), P_(axis)),
+        out_specs=(P_(axis),) * 4)), (kd, pd), reps, fence)
+
+    # stage 1 program: sorted streams + real bounds (materialized once)
+    s_per_dev = min(n_local, 256)
+
+    def stage1(k, p):
+        ops = split_all(k, p)
+        s = jax.lax.sort(ops, num_keys=2)
+        pos = (jnp.arange(n_local, dtype=jnp.uint32) * jnp.uint32(num_p)
+               + jax.lax.axis_index(axis).astype(jnp.uint32))
+        domain = (s[0], s[1], pos)
+        spl = dist_sort.gather_splitters(domain, axis, num_p - 1, s_per_dev)
+        bounds = dist_sort.lex_bounds(domain, spl)
+        return s + (bounds,)
+
+    st1 = jax.jit(jax.shard_map(
+        stage1, mesh=mesh, in_specs=(P_(axis), P_(axis)),
+        out_specs=(P_(axis),) * 5))
+    sorted_streams = st1(kd, pd)
+    fence(sorted_streams)
+    s0, s1, s2, s3, bounds_d = sorted_streams
+
+    def exchange_only(a, b, c, d, bounds):
+        recv, tot, ov = dist_sort.exchange_by_bounds(
+            (a, b, c, d), bounds, axis, cap_recv, use_ragged=False)
+        return (sum(jnp.sum(r, dtype=jnp.uint32) for r in recv)[None],
+                tot[None], ov[None])
+
+    t_exch, _ = timed(jax.jit(jax.shard_map(
+        exchange_only, mesh=mesh, in_specs=(P_(axis),) * 5,
+        out_specs=(P_(axis),) * 3)), (s0, s1, s2, s3, bounds_d), reps, fence)
+
+    def final_sort_only(a, b, c, d):
+        # the padded merge: cap_recv rows incl. the invalid-flag key
+        pad = cap_recv - a.shape[0]
+        streams = [jnp.pad(x, (0, pad)) for x in (a, b, c, d)]
+        invalid = (jnp.arange(cap_recv, dtype=jnp.int32)
+                   >= a.shape[0]).astype(jnp.uint8)
+        m = jax.lax.sort((invalid,) + tuple(streams), num_keys=3)
+        return tuple(x[:1] for x in m)
+
+    t_final, _ = timed(jax.jit(jax.shard_map(
+        final_sort_only, mesh=mesh, in_specs=(P_(axis),) * 4,
+        out_specs=(P_(axis),) * 5)), (s0, s1, s2, s3), reps, fence)
+
+    rec["phase_local_sort_s"] = round(t_local, 2)
+    rec["phase_exchange_s"] = round(t_exch, 2)
+    rec["phase_final_sort_s"] = round(t_final, 2)
+    rec["phase_residual_s"] = round(
+        rec["full_sort_s"] - t_local - t_exch - t_final, 2)
+    say(f"phases: local {t_local:.1f}s exchange {t_exch:.1f}s "
+        f"final {t_final:.1f}s residual {rec['phase_residual_s']}s "
+        f"(full {rec['full_sort_s']}s)")
+
+    # ---- joins ------------------------------------------------------------
+    fetch = lambda x: np.asarray(x)
+    rec["join_zipf11"] = run_join(mesh, n_probe, n_build, 1.1, 7, 8,
+                                  say, fetch)
+    rec["join_zipf15_hot"] = run_join(mesh, n_probe, n_build, 1.5, 9, 8,
+                                      say, fetch)
+    abl = run_join(mesh, n_probe, n_build, 1.5, 9, 0, say, fetch)
+    rec["join_zipf15_hot_off_ablation"] = abl
+    rec["ablation_overflowed_as_expected"] = bool(abl["overflow"] > 0)
+    merge_out("vmesh", rec)
+
+
+# ==========================================================================
+# multiproc leg
+# ==========================================================================
+
+def mp_worker(pid, nproc, port, n_sort, n_probe, n_build):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 1)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+    from jax.sharding import Mesh
+    from jax.experimental import multihost_utils
+    from simd_radix_sort_tpu.parallel import dist_sort, multihost
+
+    multihost.init_distributed(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nproc, process_id=pid)
+    say = (lambda m: print(f"[mp{nproc} {pid}] {m}", flush=True)) \
+        if pid == 0 else (lambda m: None)
+    mesh = Mesh(np.array(jax.devices()), ("x",))
+
+    keys, pays = make_sort_table(n_sort, 1.1, 31)
+    st = skew_stats(keys)
+    t0 = time.perf_counter()
+    out_k, out_p, counts, overflow, meta = dist_sort.distributed_sort(
+        keys, pays, mesh=mesh)
+    jax.block_until_ready(counts)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out_k, out_p, counts, overflow, meta = dist_sort.distributed_sort(
+        keys, pays, mesh=mesh)
+    jax.block_until_ready(counts)
+    t_run = time.perf_counter() - t0
+
+    fetch = lambda x: np.asarray(multihost_utils.process_allgather(
+        x, tiled=True))
+    assert int(fetch(overflow).max()) == 0, "sort overflow"
+    ks, (ps_,) = dist_sort.gather_result(fetch(out_k), (fetch(out_p[0]),),
+                                         fetch(counts))
+    assert np.array_equal(ks, np.sort(keys)), "sort keys wrong"
+    say(f"sort n={n_sort} zipf(1.1) top1={st['top1_share']:.3f}: "
+        f"{t_run:.2f}s, overflow=0, validated")
+
+    rec = {"n_sort": n_sort, "sort_run_s": round(t_run, 3),
+           "sort_first_call_s": round(t_first, 2), "sort_overflow": 0,
+           "skew": st,
+           "join11": run_join(mesh, n_probe, n_build, 1.1, 7, 8, say,
+                              fetch),
+           "join15_hot": run_join(mesh, n_probe, n_build, 1.5, 9, 8, say,
+                                  fetch)}
+    if pid == 0:
+        print("RESULT " + json.dumps(rec), flush=True)
+
+
+def leg_multiproc(n_sort, n_probe, n_build, timeout):
+    results = {}
+    for nproc in (2, 4):
+        port = free_port()
+        env = dict(os.environ, PYTHONPATH=REPO + os.pathsep
+                   + os.environ.get("PYTHONPATH", ""))
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--role",
+             "mp-worker", "--process-id", str(pid), "--procs", str(nproc),
+             "--port", str(port), "--n-sort", str(n_sort),
+             "--n-probe", str(n_probe), "--n-build", str(n_build)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for pid in range(nproc)]
+        rec = None
+        for pid, p in enumerate(procs):
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+                out += f"\n[launcher] proc {pid} TIMED OUT"
+            for line in out.splitlines():
+                if line.startswith("RESULT "):
+                    rec = json.loads(line[len("RESULT "):])
+                elif "WARNING" not in line:
+                    print(line, flush=True)
+            if p.returncode != 0:
+                raise RuntimeError(f"mp worker {pid} exited {p.returncode}")
+        results[f"{nproc}proc"] = rec
+    merge_out("multiproc", results)
+
+
+def free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+# ==========================================================================
+# chip leg (real TPU, 1-device mesh, RAGGED exchange path)
+# ==========================================================================
+
+def leg_chip(n_sort, n_probe, n_build, reps):
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import functools
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P_
+    from simd_radix_sort_tpu.parallel import dist_sort, dist_ops
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    say = lambda m: print(f"[chip] {m}", flush=True)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("x",))
+    sharding = NamedSharding(mesh, P_("x"))
+
+    keys, pays = make_sort_table(n_sort, 1.1, 41)
+    st = skew_stats(keys)
+    kd = jax.device_put(jnp.asarray(keys), sharding)
+    pd = jax.device_put(jnp.asarray(pays), sharding)
+    fn = jax.jit(functools.partial(dist_sort.distributed_sort_sharded,
+                                   mesh=mesh, use_ragged=True))
+
+    def fence(out):
+        np.asarray(out[2])  # counts: tiny host fetch completes the chain
+
+    t0 = time.perf_counter()
+    out = fn(kd, (pd,))
+    fence(out)
+    t_first = time.perf_counter() - t0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(kd, (pd,))
+        fence(out)
+        times.append(time.perf_counter() - t0)
+    t_run = float(np.median(times))
+    assert int(np.asarray(out[3]).max()) == 0, "sort overflow"
+
+    # device-side gate (pulling 3.2 GB through the tunnel would dwarf it)
+    @jax.jit
+    def gate(ko, po, count):
+        n = count[0]
+        idx = jnp.arange(ko.shape[0])
+        valid = idx < n
+        kv = jnp.where(valid, ko, ko[0])
+        ordered = jnp.all(jnp.where(idx[1:] < n, kv[1:] >= kv[:-1], True))
+        mix = jnp.where(valid, (ko * jnp.uint64(M1)) ^ po, 0)
+        return (ordered, jnp.sum(jnp.where(valid, ko, 0)),
+                jnp.bitwise_xor.reduce(jnp.where(valid, ko, 0)),
+                jnp.sum(mix), jnp.bitwise_xor.reduce(mix))
+
+    g = [np.asarray(v) for v in gate(out[0], out[1][0], out[2])]
+    assert bool(g[0]), "chip sort: not ordered"
+    with np.errstate(over="ignore"):
+        mix = (keys * np.uint64(M1)) ^ pays
+        assert (np.uint64(g[1]), np.uint64(g[2])) == (
+            keys.sum(dtype=np.uint64), np.bitwise_xor.reduce(keys)), \
+            "chip sort: key multiset broken"
+        assert (np.uint64(g[3]), np.uint64(g[4])) == (
+            mix.sum(dtype=np.uint64), np.bitwise_xor.reduce(mix)), \
+            "chip sort: pair fingerprints broken"
+    say(f"ragged sort n={n_sort}: {t_run:.3f}s = "
+        f"{n_sort / t_run / 1e6:.1f} Mrows/s (validated on device)")
+
+    rec = {"n_sort": n_sort, "skew": st,
+           "sort_first_call_s_incl_compile": round(t_first, 1),
+           "sort_run_s_median": round(t_run, 4),
+           "sort_runs_s": [round(t, 4) for t in times],
+           "sort_rows_per_s": round(n_sort / t_run),
+           "sort_overflow": 0,
+           "sort_validated_on_device": ["ordered", "key_multiset",
+                                        "pair_fingerprints"]}
+
+    # join: fact(probe) x dimension(build), ragged path, device-validated
+    fetch = lambda x: np.asarray(x)
+    try:
+        jrec = run_join_chip(mesh, n_probe, n_build, 1.1, 7, say)
+    except Exception as e:  # OOM fallback tier, recorded not hidden
+        say(f"join at probe={n_probe} failed ({type(e).__name__}); "
+            f"retrying at {n_probe // 2}")
+        jrec = run_join_chip(mesh, n_probe // 2, n_build, 1.1, 7, say)
+        jrec["fallback_from_probe_rows"] = n_probe
+    rec["join_zipf11"] = jrec
+    merge_out("chip", rec)
+
+
+def run_join_chip(mesh, n_probe, n_build, a, seed, say):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from simd_radix_sort_tpu.parallel import dist_ops
+
+    ranks = zipf_ranks(n_probe, a, n_build, seed)
+    probe_keys = splitmix64_np(ranks)
+    probe_pay = splitmix64_np(probe_keys ^ np.arange(n_probe,
+                                                     dtype=np.uint64))
+    build_keys = splitmix64_np(np.arange(1, n_build + 1, dtype=np.uint64))
+    build_pay = splitmix64_np(build_keys ^ np.uint64(0xC0FFEE))
+    st = skew_stats(probe_keys)
+    cap_out = int(1.25 * n_probe)
+
+    def call():
+        return dist_ops.distributed_join(
+            probe_keys, (probe_pay,), build_keys, (build_pay,), mesh=mesh,
+            return_hot_stats=True, out_rows_per_device=cap_out)
+
+    t0 = time.perf_counter()
+    res = call()
+    np.asarray(res[0])
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = call()
+    np.asarray(res[0])
+    t_run = time.perf_counter() - t0
+    counts, kout, pp, bp, overflow, hot_stats, meta = res
+    ov = int(np.asarray(overflow).max())
+    total = int(np.asarray(counts).sum())
+    assert ov == 0, "chip join overflow"
+    assert total == n_probe, (total, n_probe)
+
+    @jax.jit
+    def gate(count, k, ppay, bpay):
+        n = count[0]
+        idx = jnp.arange(k.shape[0])
+        valid = idx < n
+        # splitmix64 of (k ^ 0xC0FFEE) on device
+        x = k ^ jnp.uint64(0xC0FFEE)
+        z = x + jnp.uint64(M1)
+        z = (z ^ (z >> jnp.uint64(30))) * jnp.uint64(M2)
+        z = (z ^ (z >> jnp.uint64(27))) * jnp.uint64(M3)
+        z = z ^ (z >> jnp.uint64(31))
+        bp_ok = jnp.all(jnp.where(valid, bpay == z, True))
+        mix = jnp.where(valid, (k * jnp.uint64(M1)) ^ ppay, 0)
+        return bp_ok, jnp.sum(mix), jnp.bitwise_xor.reduce(mix)
+
+    g = [np.asarray(v) for v in gate(counts, kout, pp[0], bp[0])]
+    assert bool(g[0]), "chip join: build payload decoupled"
+    with np.errstate(over="ignore"):
+        mixi = (probe_keys * np.uint64(M1)) ^ probe_pay
+        assert (np.uint64(g[1]), np.uint64(g[2])) == (
+            mixi.sum(dtype=np.uint64), np.bitwise_xor.reduce(mixi)), \
+            "chip join: probe pair multiset broken"
+    say(f"ragged join probe={n_probe}: {t_run:.3f}s = "
+        f"{n_probe / t_run / 1e6:.1f} Mprobe-rows/s (validated on device)")
+    return {"n_probe": n_probe, "n_build": n_build, "zipf_a": a,
+            "skew": st, "first_call_s_incl_compile": round(t_first, 1),
+            "run_s": round(t_run, 4),
+            "probe_rows_per_s": round(n_probe / t_run),
+            "overflow": 0, "output_rows": total,
+            "hot_stats": {k: np.asarray(v).tolist()
+                          for k, v in hot_stats.items()},
+            "validated_on_device": ["output_rows==probe_rows",
+                                    "build_payload_is_f(key)",
+                                    "probe_pair_fingerprints"]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--leg", choices=("vmesh", "multiproc", "chip"))
+    ap.add_argument("--role", default="main")
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--n-sort", type=int, default=0)
+    ap.add_argument("--n-probe", type=int, default=0)
+    ap.add_argument("--n-build", type=int, default=0)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--timeout", type=float, default=3000.0)
+    args = ap.parse_args()
+
+    if args.role == "mp-worker":
+        mp_worker(args.process_id, args.procs, args.port, args.n_sort,
+                  args.n_probe, args.n_build)
+        return
+    if args.leg == "vmesh":
+        leg_vmesh(args.n_sort or 10**8, args.n_probe or 8 * 10**7,
+                  args.n_build or 10**7, args.reps)
+    elif args.leg == "multiproc":
+        leg_multiproc(args.n_sort or 1 << 24, args.n_probe or 1 << 23,
+                      args.n_build or 1 << 20, args.timeout)
+    elif args.leg == "chip":
+        leg_chip(args.n_sort or 10**8, args.n_probe or 10**8,
+                 args.n_build or 10**7, args.reps)
+    else:
+        raise SystemExit("pass --leg vmesh|multiproc|chip")
+
+
+if __name__ == "__main__":
+    main()
