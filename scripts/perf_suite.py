@@ -88,11 +88,15 @@ TPE_BREADTH = [
 TPE_BREADTH_DISTS = [D.Distribution.UNIFORM, D.Distribution.SORTED,
                      D.Distribution.ZERO]
 
-# round-5 packed-path engine tables (sort_packed through the facade)
+# round-5 packed-path engine tables (sort_packed through the facade).
+# Large-n tier per combo: 1e8 rows OOM 16 GB HBM for the wide combos
+# (input + 6-8 sort streams + byte reassembly peak; the 24 B config-3
+# anchor at the full 1e8 is COMBINED_1E8_r04.json), so the wide rows
+# measure at the largest n that holds.
 PACKED_COMBOS = [
-    (np.int32, (np.int32,)),            # 8-byte rows: packing wins
-    (np.uint64, (np.uint64,)),          # 16-byte rows: the headline shape
-    (np.uint64, (np.uint64, np.uint64)),  # 24-byte rows: config 3
+    (np.int32, (np.int32,), 10**8),       # 8-byte rows: packing wins
+    (np.uint64, (np.uint64,), 6 * 10**7),   # 16-byte headline shape
+    (np.uint64, (np.uint64, np.uint64), 4 * 10**7),  # 24-byte config 3
 ]
 
 
@@ -158,8 +162,8 @@ def main():
                                       reps=3, warmups=1, validate="device")
                 print("wrote", path, flush=True)
         if args.packed:
-            for k, ps in PACKED_COMBOS:
-                for num in (args.n, 10**8):
+            for k, ps, big_n in PACKED_COMBOS:
+                for num in (args.n, big_n):
                     base = "-".join(
                         [perf.common.type_name(k)]
                         + [perf.common.type_name(p) for p in ps])
@@ -167,10 +171,15 @@ def main():
                     if done(nm):
                         print("skip", nm, flush=True)
                         continue
+                    # radix is the differential engine; at large n its
+                    # extra digit-pass intermediates crowd HBM for no
+                    # policy information (the 2^18 cells already place it)
+                    big = num >= 4 * 10**7
+                    meths = ("xla", "quick") if big \
+                        else ("xla", "radix", "quick")
                     path = perf.perf_test_packed(
-                        num, k, ps, methods=("xla", "radix", "quick"),
-                        reps=3 if num >= 10**8 else None,
-                        validate=num < 10**8)
+                        num, k, ps, methods=meths,
+                        reps=3 if big else None, validate=not big)
                     print("wrote", path, flush=True)
         return
 

@@ -23,7 +23,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_DIR = "/root/reference/bachelors-thesis/data"
 REF_HOST = os.path.join(REPO, "REF_HOST.json")
-LOSING_TRACE = os.path.join(REPO, "LOSING_TRACE_r04.json")
+LOSING_TRACE = os.path.join(REPO, "LOSING_TRACE_r05.json")
 
 OUR_DEVICE_METHODS = ("xla", "radix", "count", "rank", "quick")
 # the reference's own algorithm rows vs vendored competitor rows

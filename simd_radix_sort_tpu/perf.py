@@ -219,18 +219,34 @@ def table_name(key_dtype, payload_dtypes, distribution, num: int) -> str:
                     + [distribution.value, str(num)]) + ".dat"
 
 
-def _time_pipelined(fn, arg_sets, reps: int, warmups: int = 1) -> float:
+def _time_pipelined(fn, arg_sets, reps: int, warmups: int = 1,
+                    per_rep_fence: bool = False) -> float:
     """Seconds per call: dispatch `reps` calls back-to-back cycling over
     `arg_sets`, fence once (the shared timing protocol — see
-    measure_ns_per_element)."""
+    measure_ns_per_element).
+
+    per_rep_fence=True fences after every rep and frees the previous
+    rep's output first: back-to-back dispatch keeps every queued output
+    buffer live, which exhausts 16 GB HBM when one result is GBs (hit at
+    the 1e8-row packed tables).  The one-element fetch costs ~ms vs ~1 s
+    per sort at that scale — <1% bias, same protocol as bench.py."""
+    def _first(o):
+        return o[0] if isinstance(o, (tuple, list)) else o
+
     out = None
     for w in range(warmups):
         out = fn(*arg_sets[w % len(arg_sets)])
-    _sync([out[0] if isinstance(out, (tuple, list)) else out])
+    _sync([_first(out)])
     t0 = time.perf_counter()
-    for r in range(reps):
-        out = fn(*arg_sets[r % len(arg_sets)])
-    _sync([out[0] if isinstance(out, (tuple, list)) else out])
+    if per_rep_fence:
+        for r in range(reps):
+            del out  # release the previous result before dispatching
+            out = fn(*arg_sets[r % len(arg_sets)])
+            _sync([_first(out)])
+    else:
+        for r in range(reps):
+            out = fn(*arg_sets[r % len(arg_sets)])
+        _sync([_first(out)])
     return (time.perf_counter() - t0) / reps
 
 
@@ -428,7 +444,8 @@ def perf_test_packed(num: int, key_dtype, payload_dtypes,
             continue
         fn = jax.jit(lambda p, m=m: sort_mod.sort_packed(
             p, key_dtype, method=m))
-        sec = _time_pipelined(fn, [(packed,)], reps)
+        sec = _time_pipelined(fn, [(packed,)], reps,
+                              per_rep_fence=num >= (1 << 25))
         if validate and num:
             out = np.asarray(fn(packed))
             ko, po = sort_mod.unpack_rows(out, key_dtype, payload_dtypes)
