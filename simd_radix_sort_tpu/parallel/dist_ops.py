@@ -579,8 +579,10 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
             tuple(recv_p[:nk]), tot_p, tuple(recv_b[:nk]), tot_b, cap_out)
         count_c = jnp.minimum(total_c, cap_out).astype(jnp.int32)
         valid_c = jnp.arange(cap_out, dtype=jnp.int32) < count_c
-        ov = (ov_p + ov_b
-              + jax.lax.pmax((total_c > cap_out).astype(jnp.int32), axis))
+        ov_out_cold = jax.lax.pmax((total_c > cap_out).astype(jnp.int32),
+                                   axis)
+        ov = ov_p + ov_b + ov_out_cold
+        ov_hotcap = ov_out_hot = jnp.int32(0)
 
         def g(words, idx, valid):
             # a 0-capacity stream (empty table side) yields zeros: takes
@@ -610,16 +612,18 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
             vmask_hb = jax.lax.all_gather(
                 jnp.arange(cap_hot, dtype=jnp.int32) < n_hot_b,
                 axis).reshape(-1)
-            ov = ov + jax.lax.pmax((n_hot_b > cap_hot).astype(jnp.int32),
-                                   axis)
+            ov_hotcap = jax.lax.pmax((n_hot_b > cap_hot).astype(jnp.int32),
+                                     axis)
+            ov = ov + ov_hotcap
 
             total_h, pidx_h, bidx_h = hashjoin.merge_join_indices(
                 tuple(dom_p), flag_ps == 1, tuple(hot_all[:nk]), vmask_hb,
                 cap_out)
             count_h = jnp.minimum(total_h, cap_out).astype(jnp.int32)
             valid_h = jnp.arange(cap_out, dtype=jnp.int32) < count_h
-            ov = ov + jax.lax.pmax((total_h > cap_out).astype(jnp.int32),
-                                   axis)
+            ov_out_hot = jax.lax.pmax((total_h > cap_out).astype(jnp.int32),
+                                      axis)
+            ov = ov + ov_out_hot
 
             hk = g(dom_p, pidx_h, valid_h)
             hp = g(pp_s, pidx_h, valid_h)
@@ -650,9 +654,13 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
                   jnp.sum(hot_valid.astype(jnp.int32)))
         else:
             hs = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
-        return base_out + tuple(h[None] for h in hs)
+        # per-source overflow components, for diagnosing WHICH capacity
+        # tripped (probe recv / build recv / cold out / hot out / hot table)
+        ov_parts = jnp.stack([ov_p, ov_b, ov_out_cold, ov_out_hot,
+                              ov_hotcap]).astype(jnp.int32)
+        return base_out + tuple(h[None] for h in hs) + (ov_parts[None],)
 
-    n_out = 2 + len(p_dts) + len(b_dts) + 1 + (3 if return_hot_stats else 0)
+    n_out = 2 + len(p_dts) + len(b_dts) + 1 + (4 if return_hot_stats else 0)
     fn = dist_sort.cached_jit(
         ("join", mesh, axis, cap_p, cap_b, cap_out, cap_hot, hot_keys,
          mc_p, mc_b, samples_per_device, use_ragged, str(key_f64),
@@ -672,7 +680,9 @@ def distributed_join(probe_keys, probe_payloads, build_keys, build_payloads,
     if return_hot_stats:
         hot_stats = {"hot_probe_rows_per_device": out[iov + 1],
                      "hot_build_rows_per_device": out[iov + 2],
-                     "hot_key_slots_flagged": out[iov + 3]}
+                     "hot_key_slots_flagged": out[iov + 3],
+                     "overflow_parts_probe_build_coldout_hotout_hotcap":
+                         out[iov + 4]}
         return counts, keys_out, out_pp, out_bp, overflow, hot_stats, meta
     return counts, keys_out, out_pp, out_bp, overflow, meta
 
