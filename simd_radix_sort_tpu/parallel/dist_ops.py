@@ -111,12 +111,12 @@ def run_elastic_aggregate(make_fn, keys_d, vals_d, n_local, num_p,
     for attempt in range(max_retries + 1):
         cap_recv = max(int(cap * n_local), 1)
         out = make_fn(cap_recv)(keys_d, vals_d)
-        if not bool(np.asarray(out[-1]).any()):
+        if not bool(dist_sort.fetch_flag(out[-1]).any()):
             break
         if attempt == max_retries or cap >= num_p:
             break
         cap = min(cap * 2.0, float(num_p))
-    if bool(np.asarray(out[-1]).any()):
+    if bool(dist_sort.fetch_flag(out[-1]).any()):
         raise ValueError(
             f"{what}: a key range's partials exceed receive capacity even "
             f"at factor {cap}; groups are too skewed for the per-device "

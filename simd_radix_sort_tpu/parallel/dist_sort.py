@@ -554,7 +554,7 @@ def distributed_sort(keys, *payloads, mesh: Mesh | None = None,
                 samples_per_device=samples_per_device,
                 key_dtype=key_dtype))
         out_keys, out_pays, counts, overflow = fn(keys_d, pays_d)
-        if not bool(np.asarray(overflow).any()):
+        if not bool(fetch_flag(overflow).any()):
             break
         # a factor of P always fits everything on one device; past that
         # retrying cannot help
@@ -563,6 +563,17 @@ def distributed_sort(keys, *payloads, mesh: Mesh | None = None,
         cap = min(cap * 2.0, float(num_p))
     return out_keys, out_pays, counts, overflow, meta
 
+
+
+def fetch_flag(x) -> np.ndarray:
+    """Host-read a small flag/count array that may be sharded across
+    PROCESSES (multi-process runs): np.asarray on a global array spanning
+    non-addressable devices raises; process_allgather replicates it
+    first.  Single-process arrays take the direct path."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def stage_host_bits(x):
@@ -672,7 +683,7 @@ def distributed_sort_multi(keys_columns, *payloads,
              tuple((p.shape, p.dtype.str) for p in pays_d)),
             lambda: shard(functools.partial(local_fn, cap_recv)))
         out_cols, out_pays, counts, overflow = fn(*cols_d, *pays_d)
-        if not bool(np.asarray(overflow).any()):
+        if not bool(fetch_flag(overflow).any()):
             break
         if attempt == max_retries or cap >= num_p:
             break
