@@ -125,7 +125,12 @@ def measure_mesh(mesh, axis, n_local, reps, say):
         c = jnp.float32(jax.lax.axis_index(axis))
 
         def step(c, _):
-            return jax.lax.psum(c, axis) / num_p, None
+            # re-vary the carry after the psum: shard_map requires the
+            # scan carry's varying-axes type to stay fixed, and a psum
+            # output is axis-invariant
+            s = jax.lax.psum(c, axis) / num_p
+            return s + jax.lax.axis_index(axis).astype(jnp.float32) * 1e-6, \
+                None
 
         c, _ = jax.lax.scan(step, c, None, length=CHAIN)
         return c[None]

@@ -95,6 +95,85 @@ MEASURED_ANCHOR = {
     "row_bytes": 16,
 }
 
+# Measured communication constants (round 5, COMM_CONSTANTS_r05.json,
+# scripts/comm_constants.py, 2026-08-20): the ACTUAL dist_sort exchange
+# program timed at bandwidth-dominated sizes on every leg this
+# environment can measure —
+#   * gloo_bytes_per_s_per_proc: 2 and 4 REAL OS processes under
+#     jax.distributed (Gloo), n_local up to 2^22 [u64,u64] rows.
+#     LOOPBACK transport on a single time-sliced core: this is the
+#     measured SOFTWARE-stack floor of the cross-process exchange path
+#     (serialization + copies + Gloo protocol), not a NIC measurement.
+#   * vmesh_exchange_bytes_per_s: the 8-device virtual-mesh dense
+#     emulation — the constant that closes the SCALING_CURVES
+#     work-inflation gap (the model can now PRICE the emulation's
+#     exchange instead of excluding it).
+#   * collective latencies from a 64-deep dependent psum chain.
+# The TPU projection below still prices ICI/DCN from public v5e figures
+# with explicit derates (no NIC is reachable here); these constants pin
+# the two environments that ARE measurable, and the sensitivity bound
+# dcn_required_for_clause() restates the >=80% prediction in terms a
+# real 2-host run can falsify.
+MEASURED_COMM = {
+    "gloo_bytes_per_s_per_proc": 100.4e6,   # min of the 2p/4p fits
+    "vmesh_exchange_bytes_per_s": 110.3e6,
+    "collective_latency_s_gloo": 3.94e-3,
+    "collective_latency_s_vmesh": 1.21e-4,
+    "provenance": "COMM_CONSTANTS_r05.json",
+}
+
+
+def dense_emulation_exchange_seconds(n_local: float, num_p: int,
+                                     row_bytes: int = 16) -> float:
+    """Predicted exchange WALL time of the CPU dense-emulation path (the
+    virtual-mesh curves): one device receives (P-1) * n_local * row_bytes
+    cross-device bytes, and the fitted rate is an effective wall rate —
+    the one-core serialization across devices is already inside it (the
+    constant was fitted from the wall time of the full 8-device
+    exchange)."""
+    cross = (num_p - 1) * n_local * row_bytes
+    return cross / MEASURED_COMM["vmesh_exchange_bytes_per_s"]
+
+
+def multiproc_exchange_seconds(n_local: float, num_procs: int,
+                               row_bytes: int = 16) -> float:
+    """Predicted exchange WALL time of the real-multi-process Gloo path
+    (fitted rate is the effective wall rate per process; single-core
+    serialization included by construction of the fit)."""
+    cross = (num_procs - 1) * n_local * row_bytes
+    return cross / MEASURED_COMM["gloo_bytes_per_s_per_proc"]
+
+
+def dcn_required_for_clause(n_per_chip: float = 1e8, row_bytes: int = 16,
+                            num_slices: int = 2, chips_per_slice: int = 8,
+                            target_eff: float = 0.80,
+                            capacity_factor: float = 2.0,
+                            final_mode: str = "sort",
+                            link: "LinkSpec | None" = None) -> float:
+    """The DCN bytes/s/chip at which the weak-scaling clause
+    (eff >= target at `num_slices` hosts vs 1 host) exactly holds — the
+    round-5 restatement of the prediction as a falsifiable THRESHOLD:
+    measured constants price every term except the NIC, and a real
+    2-host run settles which side of this number the hardware lands on.
+    v5e spec-derated DCN is 3.1e9 B/s/chip; the measured single-core
+    software floor is 0.1e9."""
+    link = link or LINKS["v5e"]
+    base = hierarchical_sort_phases(
+        n_per_chip * chips_per_slice, 1, chips_per_slice, row_bytes, link,
+        capacity_factor=capacity_factor, final_mode=final_mode)
+    multi = hierarchical_sort_phases(
+        n_per_chip * num_slices * chips_per_slice, num_slices,
+        chips_per_slice, row_bytes, link,
+        capacity_factor=capacity_factor, final_mode=final_mode)
+    # T_multi(B) = (multi.total_s - t_dcn_at_link) + dcn_bytes / B
+    dcn_bytes = n_per_chip * row_bytes * (num_slices - 1) / num_slices
+    t_dcn_at_link = dcn_bytes / link.dcn_bytes_per_s_per_chip
+    t_fixed = multi.total_s - t_dcn_at_link
+    t_budget = base.total_s / target_eff - t_fixed
+    if t_budget <= 0:
+        return float("inf")
+    return dcn_bytes / t_budget
+
 # Measured batched block-sort rate (BENCH_NOTES: (C, 8192)-shaped row
 # sorts run 919-1268 Melem/s); conservative end, used by the blocked
 # final-pass model.

@@ -136,3 +136,33 @@ def test_link_specs_sane():
         assert spec.dcn_bytes_per_s_per_chip > 0
         # ICI is always much faster than the per-chip DCN share
         assert spec.ici_bytes_per_s > 5 * spec.dcn_bytes_per_s_per_chip
+
+
+def test_measured_comm_constants_cite_artifact_and_predict():
+    """Round 5: the communication constants are fitted from committed
+    measurements (COMM_CONSTANTS_r05.json) and the emulation predictors
+    reproduce the fit points by construction."""
+    mc = scaling.MEASURED_COMM
+    assert mc["provenance"] == "COMM_CONSTANTS_r05.json"
+    # fit point: 8-dev vmesh, n_local=2^20 [u64,u64] measured ~1.06 s
+    pred = scaling.dense_emulation_exchange_seconds(1 << 20, 8)
+    assert pred == pytest.approx(
+        7 * (1 << 20) * 16 / mc["vmesh_exchange_bytes_per_s"])
+    assert 0.8 < pred < 1.4
+    # gloo fit point: 4 procs at n_local=2^22 (~100 MB/s effective)
+    predg = scaling.multiproc_exchange_seconds(1 << 22, 4)
+    assert 1.5 < predg < 3.5
+
+
+def test_dcn_threshold_restates_the_clause():
+    """The falsifiable restatement: the >=0.80-at-2-hosts clause holds
+    exactly down to a DCN rate BELOW the spec-derated figure (margin),
+    and far ABOVE the measured single-core software floor (so only a
+    real NIC run can settle it)."""
+    thr = scaling.dcn_required_for_clause()
+    spec = scaling.LINKS["v5e"].dcn_bytes_per_s_per_chip
+    assert thr < spec, (thr, spec)             # clause holds at spec
+    assert spec / thr > 1.5                    # with real margin
+    assert thr > scaling.MEASURED_COMM["gloo_bytes_per_s_per_proc"]
+    # tightening the target raises the required bandwidth monotonically
+    assert scaling.dcn_required_for_clause(target_eff=0.9) > thr
