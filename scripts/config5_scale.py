@@ -325,13 +325,16 @@ def leg_vmesh(n_sort, n_probe, n_build, reps):
     say(f"phases: local {t_local:.1f}s exchange {t_exch:.1f}s "
         f"final {t_final:.1f}s residual {rec['phase_residual_s']}s "
         f"(full {rec['full_sort_s']}s)")
+    merge_out("vmesh", rec)  # incremental: sort tier survives a join kill
 
     # ---- joins ------------------------------------------------------------
     fetch = lambda x: np.asarray(x)
     rec["join_zipf11"] = run_join(mesh, n_probe, n_build, 1.1, 7, 8,
                                   say, fetch)
+    merge_out("vmesh", rec)
     rec["join_zipf15_hot"] = run_join(mesh, n_probe, n_build, 1.5, 9, 8,
                                       say, fetch)
+    merge_out("vmesh", rec)
     abl = run_join(mesh, n_probe, n_build, 1.5, 9, 0, say, fetch)
     rec["join_zipf15_hot_off_ablation"] = abl
     rec["ablation_overflowed_as_expected"] = bool(abl["overflow"] > 0)
@@ -451,20 +454,42 @@ def leg_chip(n_sort, n_probe, n_build, reps):
     mesh = Mesh(np.array(jax.devices()[:1]), ("x",))
     sharding = NamedSharding(mesh, P_("x"))
 
-    keys, pays = make_sort_table(n_sort, 1.1, 41)
-    st = skew_stats(keys)
-    kd = jax.device_put(jnp.asarray(keys), sharding)
-    pd = jax.device_put(jnp.asarray(pays), sharding)
-    fn = jax.jit(functools.partial(dist_sort.distributed_sort_sharded,
-                                   mesh=mesh, use_ragged=True))
-
     def fence(out):
         np.asarray(out[2])  # counts: tiny host fetch completes the chain
 
-    t0 = time.perf_counter()
-    out = fn(kd, (pd,))
-    fence(out)
-    t_first = time.perf_counter() - t0
+    # The ragged_all_to_all lowering on this backend materializes a
+    # lane-padded u32[n,1,128] copy of each 1-D operand (~512 B/row;
+    # observed allocation 51.2 GB at n=1e8 vs 16 GB HBM), so the ragged
+    # path has a compile-time row ceiling — measured here by a
+    # descending-n ladder, recorded not hidden.
+    attempts = []
+    out = None
+    for n_try in [n_sort, 4 * 10**7, 2 * 10**7, 12 * 10**6]:
+        if n_try > n_sort:
+            continue
+        keys, pays = make_sort_table(n_try, 1.1, 41)
+        st = skew_stats(keys)
+        kd = jax.device_put(jnp.asarray(keys), sharding)
+        pd = jax.device_put(jnp.asarray(pays), sharding)
+        fn = jax.jit(functools.partial(dist_sort.distributed_sort_sharded,
+                                       mesh=mesh, use_ragged=True))
+        t0 = time.perf_counter()
+        try:
+            out = fn(kd, (pd,))
+            fence(out)
+        except Exception as e:
+            say(f"ragged sort n={n_try}: compile/alloc failed "
+                f"({type(e).__name__}) — ragged lane-padding ceiling")
+            attempts.append({"n": n_try, "ok": False,
+                             "error": type(e).__name__})
+            out = None
+            continue
+        t_first = time.perf_counter() - t0
+        attempts.append({"n": n_try, "ok": True})
+        n_sort = n_try
+        break
+    if out is None:
+        raise RuntimeError("ragged sort failed at every ladder size")
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -500,7 +525,12 @@ def leg_chip(n_sort, n_probe, n_build, reps):
     say(f"ragged sort n={n_sort}: {t_run:.3f}s = "
         f"{n_sort / t_run / 1e6:.1f} Mrows/s (validated on device)")
 
-    rec = {"n_sort": n_sort, "skew": st,
+    rec = {"n_sort": n_sort, "skew": st, "size_ladder": attempts,
+           "ragged_note": ("ragged_all_to_all lowers 1-D operands via a "
+                           "lane-padded u32[n,1,128] copy (~512 B/row) on "
+                           "this backend: n=1e8 needs a 51.2 GB "
+                           "allocation vs 16 GB HBM, so the ragged leg "
+                           "runs at the largest n that compiles"),
            "sort_first_call_s_incl_compile": round(t_first, 1),
            "sort_run_s_median": round(t_run, 4),
            "sort_runs_s": [round(t, 4) for t in times],
@@ -509,8 +539,9 @@ def leg_chip(n_sort, n_probe, n_build, reps):
            "sort_validated_on_device": ["ordered", "key_multiset",
                                         "pair_fingerprints"]}
 
-    # join: fact(probe) x dimension(build), ragged path, device-validated
-    fetch = lambda x: np.asarray(x)
+    # join: fact(probe) x dimension(build), ragged path, device-validated;
+    # probe capped at the sort ladder's achieved n (same ragged ceiling)
+    n_probe = min(n_probe, n_sort)
     try:
         jrec = run_join_chip(mesh, n_probe, n_build, 1.1, 7, say)
     except Exception as e:  # OOM fallback tier, recorded not hidden
