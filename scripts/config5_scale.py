@@ -464,13 +464,26 @@ def leg_chip(n_sort, n_probe, n_build, reps):
     # descending-n ladder, recorded not hidden.
     attempts = []
     out = None
-    for n_try in [n_sort, 4 * 10**7, 2 * 10**7, 12 * 10**6]:
+    for n_try in [n_sort, 4 * 10**7, 2 * 10**7, 12 * 10**6, 8 * 10**6,
+                  6 * 10**6, 4 * 10**6]:
         if n_try > n_sort:
             continue
         keys, pays = make_sort_table(n_try, 1.1, 41)
         st = skew_stats(keys)
-        kd = jax.device_put(jnp.asarray(keys), sharding)
-        pd = jax.device_put(jnp.asarray(pays), sharding)
+        # the axon tunnel intermittently drops large transfers right
+        # after a wedge recovery — retry the staging a few times
+        for attempt in range(4):
+            try:
+                kd = jax.device_put(jnp.asarray(keys), sharding)
+                pd = jax.device_put(jnp.asarray(pays), sharding)
+                np.asarray(kd[:1])
+                break
+            except Exception as e:
+                say(f"staging n={n_try} attempt {attempt}: "
+                    f"{type(e).__name__}; retrying in 30 s")
+                time.sleep(30)
+        else:
+            raise RuntimeError("device staging failed 4x (tunnel)")
         fn = jax.jit(functools.partial(dist_sort.distributed_sort_sharded,
                                        mesh=mesh, use_ragged=True))
         t0 = time.perf_counter()
@@ -478,10 +491,11 @@ def leg_chip(n_sort, n_probe, n_build, reps):
             out = fn(kd, (pd,))
             fence(out)
         except Exception as e:
+            msg = str(e).replace("\n", " ")[:220]
             say(f"ragged sort n={n_try}: compile/alloc failed "
-                f"({type(e).__name__}) — ragged lane-padding ceiling")
+                f"({type(e).__name__}: {msg})")
             attempts.append({"n": n_try, "ok": False,
-                             "error": type(e).__name__})
+                             "error": f"{type(e).__name__}: {msg}"})
             out = None
             continue
         t_first = time.perf_counter() - t0

@@ -75,14 +75,18 @@ QUICK_COMBOS = [(np.int32, ()), (np.int32, (np.int32,)),
 # xla (the shipped winner) everywhere, count where it applies (the
 # count-vs-xla crossover), quick where its compiles are already cached,
 # and the native cpp baseline (no device compile cost).
+# ordered by information value per minute (the count-vs-xla crossover
+# combo first; int32+int32 second — its compiles are cache-warm from the
+# committed full-range sweep), so a --resume'd partial run keeps the
+# highest-value tables
 TPE_BREADTH = [
     ((np.int32, ()), ["xla", "count", "quick", "cpp"]),
     ((np.int32, (np.int32,)), ["xla", "quick", "cpp"]),
-    ((np.int64, ()), ["xla", "cpp"]),
-    ((np.int64, (np.int64,)), ["xla", "cpp"]),
     ((np.float32, ()), ["xla", "cpp"]),
-    ((np.float32, (np.int32,)), ["xla", "cpp"]),
     ((np.float64, ()), ["xla", "cpp"]),
+    ((np.int64, ()), ["xla", "cpp"]),
+    ((np.float32, (np.int32,)), ["xla", "cpp"]),
+    ((np.int64, (np.int64,)), ["xla", "cpp"]),
     ((np.float64, (np.int64,)), ["xla", "cpp"]),
 ]
 TPE_BREADTH_DISTS = [D.Distribution.UNIFORM, D.Distribution.SORTED,
