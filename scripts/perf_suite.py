@@ -80,7 +80,7 @@ QUICK_COMBOS = [(np.int32, ()), (np.int32, (np.int32,)),
 # committed full-range sweep), so a --resume'd partial run keeps the
 # highest-value tables
 TPE_BREADTH = [
-    ((np.int32, ()), ["xla", "count", "quick", "cpp"]),
+    ((np.int32, ()), ["xla", "count", "cpp"]),
     ((np.int32, (np.int32,)), ["xla", "quick", "cpp"]),
     ((np.float32, ()), ["xla", "cpp"]),
     ((np.float64, ()), ["xla", "cpp"]),
